@@ -1,0 +1,276 @@
+"""Deduplication operators for large-scale corpus curation.
+
+All operators stay JVM-side (built-in ``pyspark.sql.functions`` only —
+no Python UDFs), so they whole-stage-codegen and scale linearly:
+
+* :func:`exact_dedup` — hash-groupBy exact dedup (one shuffle).
+* :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — MinHash+LSH
+  near-dup: shingle → portable 32-bit hash → k permutations → b bands
+  → band-bucket self-join (candidates only; no O(n²) pass) → exact
+  Jaccard verification on candidates.
+* :func:`simhash64` / :func:`simhash_pairs` — 64-bit SimHash with
+  banded blocking + Hamming-distance verification via
+  ``bit_count(xor)``.
+* :func:`ngram_jaccard_pairs` — token n-gram Jaccard within cheap
+  blocks (length bucket), for small-block exact near-dup.
+* :func:`embedding_neardup_pairs` — cosine near-dup over an
+  ``array<float>`` embedding column within label blocks.
+
+Portability: the base hash is ``conv(substr(md5(s),1,8),16,10)`` — an
+expression DuckDB can mirror (``('0x'||substr(md5(s),1,8))::bigint``),
+so every operator here has an exact cross-engine oracle in
+``__spark_entry__.py`` (no engine-specific hash functions).
+
+Scale notes: LSH band join shuffles on (band, signature) — hot bands
+(boilerplate duplicates) are the skew risk; AQE skew-join splitting is
+enabled in the session defaults, and the band signature includes the
+band index so buckets stay narrow.  ``pair_id < pair_id2`` keeps the
+candidate matrix triangular.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE = 2147483647
+
+
+def _h32(col):
+    """Portable 32-bit hash of a string column (md5 prefix)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def tokens(col):
+    """Lowercase word tokens (shared with the DuckDB oracle)."""
+    return F.split(
+        F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " ")), " "
+    )
+
+
+def shingles(tok_col, n: int = 3):
+    """Word n-gram shingles from a token array column."""
+    return F.when(
+        F.size(tok_col) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tok_col) - n),
+            lambda i: F.array_join(F.slice(tok_col, i + 1, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(tok_col, " ")))
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the smallest id per content hash."""
+    return (
+        docs.select(id_col, F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 16,
+                       shingle_n: int = 3) -> DataFrame:
+    """k MinHash values per doc: min over shingles of (a_i*h+b_i) % p.
+
+    a_i/b_i are fixed odd constants (deterministic, engine-portable).
+    """
+    toks = tokens(F.col(text_col))
+    sh = shingles(toks, shingle_n)
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(sh).alias("sh"),
+    )
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                F.col("sh"),
+                lambda s: (
+                    F.lit(1_000_003 + 2 * i) * _h32(s) + F.lit(12_345 + i)
+                ) % F.lit(MERSENNE),
+            )
+        ).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return base.select("id", *sig_cols)
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 16, bands: int = 4,
+                      shingle_n: int = 3,
+                      jaccard_threshold: float = 0.5) -> DataFrame:
+    """Candidate pairs via banded LSH, verified with exact shingle
+    Jaccard.  Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    rows_per_band = k // bands
+    sigs = minhash_signatures(docs, text_col, id_col, k, shingle_n)
+    band_cols = []
+    for b in range(bands):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        band_cols.append(
+            F.concat_ws(
+                "_", F.lit(b), *[F.col(c).cast("string") for c in cols]
+            ).alias(f"band{b}")
+        )
+    banded = sigs.select("id", *band_cols)
+    # explode to (band_sig, id) and self-join per bucket
+    stacked = banded.select(
+        "id",
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias(
+            "band_sig"
+        ),
+    )
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_sig") == F.col("b.band_sig"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n)).alias("sh"),
+    )
+    out = (
+        cand.join(sh.withColumnRenamed("id", "id_a")
+                  .withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def simhash64(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over word tokens.
+
+    Bit j of the signature = majority vote of bit j across token
+    hashes.  Two 32-bit md5-prefix hashes supply the 64 bits — all
+    expressible in DuckDB for the oracle."""
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    # hash each token ONCE into two 32-bit halves, then vote per bit —
+    # avoids 64 redundant md5 evaluations per token
+    hs = F.transform(
+        toks,
+        lambda s: F.struct(
+            _h32(s).alias("h1"),
+            F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("long").alias("h2"),
+        ),
+    )
+    base = docs.select(F.col(id_col).alias("id"), hs.alias("t"))
+
+    def _vote(half: str, shift: int):
+        # closure factory: pyspark rejects lambdas with default args
+        def merge(acc, h):
+            return acc + F.when(
+                F.shiftright(h[half], shift) % 2 == 1, 1
+            ).otherwise(-1)
+        return merge
+
+    bit_votes = []
+    for j in range(64):
+        half, shift = ("h1", j) if j < 32 else ("h2", j - 32)
+        bit_votes.append(
+            F.aggregate(
+                F.col("t"), F.lit(0).cast("long"), _vote(half, shift)
+            ).alias(f"v{j}")
+        )
+    voted = base.select("id", *bit_votes)
+    sig = voted.select(
+        "id",
+        sum(
+            F.when(F.col(f"v{j}") > 0, F.lit(2 ** j).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            for j in range(63)  # bit 63 omitted to stay in signed range
+        ).alias("simhash"),
+    )
+    return sig
+
+
+def simhash_pairs(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on the top
+    16 bits (near-dups almost always share the high band)."""
+    sig = simhash64(docs, text_col, id_col)
+    blocked = sig.withColumn("blk", F.shiftright("simhash", 48))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.id") < F.col("b.id")))
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                "hamming")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 2,
+                        threshold: float = 0.3) -> DataFrame:
+    """Token n-gram Jaccard within (token-count bucket, first token)
+    blocks — a cheap exact near-dup for short-document corpora."""
+    toks = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(toks, n)).alias("sh"),
+        (F.floor(F.size(toks) / 10)).alias("len_bucket"),
+        F.element_at(toks, 1).alias("tok0"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, (F.col("a.len_bucket") == F.col("b.len_bucket"))
+               & (F.col("a.tok0") == F.col("b.tok0"))
+               & (F.col("a.id") < F.col("b.id")))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("a.sh", "b.sh"))
+            / F.size(F.array_union("a.sh", "b.sh")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def embedding_neardup_pairs(emb: DataFrame, vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            block_col: str = "label",
+                            threshold: float = 0.9) -> DataFrame:
+    """Cosine near-dup within blocks (labels).  Dot products via
+    ``F.zip_with`` + ``F.aggregate`` — JVM-side, no UDF."""
+    norm = F.sqrt(F.aggregate(
+        F.col(vec_col), F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    ))
+    base = emb.select(
+        F.col(id_col).alias("id"), F.col(block_col).alias("blk"),
+        F.col(vec_col).alias("v"), norm.alias("nrm"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.v", "b.v",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.id") < F.col("b.id")))
+        .withColumn("cosine", dot / (F.col("a.nrm") * F.col("b.nrm")))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.round("cosine", 6).alias("cosine"))
+    )

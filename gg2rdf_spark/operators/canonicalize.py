@@ -1,0 +1,102 @@
+"""Canonicalization — connected components over alias edges.
+
+north_rule stage 3: same-URI subject merge is already relational
+(dropDuplicates, triples.py); *alias* edges discovered by entity
+linking (two URIs naming the same entity) need union-find.  Spark has
+no built-in CC, and GraphFrames is an external package — so this is a
+hand-rolled iterative smallest-label propagation via DataFrame
+self-joins (SURVEY.md §4 item 2):
+
+    label(v) ← min(label(v), min over neighbors u of label(u))
+
+repeated to fixpoint.  Converges in O(diameter) rounds — O(log n) with
+the large-star-ish shortcut of propagating labels, and each round
+``localCheckpoint``s to truncate lineage (otherwise the plan doubles
+every iteration and the driver OOMs planning round ~20).
+
+The output maps every node to its component's minimum label — the
+canonical representative.  ``canonical_triples`` then rewrites
+subjects/objects through that mapping (an optional mode: the
+reference-parity triple set is *not* rewritten, P/R is scored on the
+un-collapsed graph).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Returns (node, component) with component = min node id (by
+    string/natural ordering) reachable from node."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # neighbor labels: for each node, min label among neighbors
+        nbr = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy("a").agg(F.min("component").alias("nbr_min"))
+            .withColumnRenamed("a", "node")
+        )
+        new_labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()  # truncate lineage every round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def canonical_map(labels: DataFrame) -> DataFrame:
+    """(alias_uri, canonical_uri) pairs, identity rows dropped."""
+    return labels.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("alias_uri"),
+        F.col("component").alias("canonical_uri"),
+    )
+
+
+def canonical_triples(triples: DataFrame, labels: DataFrame) -> DataFrame:
+    """Rewrite subj/obj through the component map (broadcast when the
+    alias set is small — it usually is relative to the triple set)."""
+    m = F.broadcast(canonical_map(labels))
+    t = triples
+    t = (
+        t.join(m.withColumnRenamed("alias_uri", "subj"), "subj", "left")
+        .withColumn("subj", F.coalesce("canonical_uri", "subj"))
+        .drop("canonical_uri")
+    )
+    t = (
+        t.join(m.withColumnRenamed("alias_uri", "obj"), "obj", "left")
+        .withColumn("obj", F.coalesce("canonical_uri", "obj"))
+        .drop("canonical_uri")
+    )
+    return t.dropDuplicates(["conv_id", "subj", "pred", "obj"])

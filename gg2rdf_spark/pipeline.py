@@ -1,0 +1,93 @@
+"""KG-construction pipeline facade (north_rule stages 1-4).
+
+    transcripts ──parse──▶ mentions ──bundles──▶ candidate frames
+        │                                           │
+        └──▶ docs/treatment frames ──────┬── fold (D3) ──▶ triples ──▶ turtle
+                                         └────────────────▶ status
+
+``kg_triples`` returns the reference-shape triples frame;
+``kg_turtle`` the per-conversation Turtle documents; ``kg_status``
+the per-conversation Status enum (0-3).
+
+Scale notes: the parse stage is narrow (no shuffle); conv-level
+aggregation shuffles once on conv_id; the fold groups the (small)
+citation frame by conv_id.  Caching ``mentions`` avoids re-parsing
+across the frames that consume it.  At cluster scale the input should
+arrive bucketed/partitioned by conv_id so the groupBys are co-located
+(see plans/PLANS.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .operators import assemble as A
+from .operators import extract as E
+from .operators import serialize as S
+from .operators import triples as T
+
+
+class KGPipeline:
+    """Builds and caches the stage frames for one transcripts input."""
+
+    def __init__(self, transcripts: DataFrame, cache: bool = True):
+        self.transcripts = transcripts
+        self.mentions = E.parse_mentions(transcripts)
+        if cache:
+            self.mentions = self.mentions.persist()
+        self.docs = E.docs_frame(transcripts, self.mentions)
+        self.tt = E.treatment_taxon(self.mentions)
+        self.convs = A.conv_frame(self.docs, self.tt)
+        if cache:
+            self.convs = self.convs.persist()
+        self.cits = A.citation_frame(self.mentions, self.convs)
+        if cache:
+            self.cits = self.cits.persist()
+        self.fold = A.citation_fold(self.cits, self.convs)
+        self.figs = A.figure_frame(self.mentions)
+        self.mats = A.material_frame(self.mentions, self.convs)
+        if cache:
+            self.mats = self.mats.persist()
+        self.verns = A.vernacular_frame(self.mentions)
+
+    def triples(self) -> DataFrame:
+        return T.triples_frame(
+            self.convs, self.cits, self.fold, self.figs, self.mats, self.verns
+        )
+
+    def flat_triples(self) -> DataFrame:
+        """P/R-comparison shape: (conv_id, subj, pred, obj)."""
+        return self.triples().select("conv_id", "subj", "pred", "obj")
+
+    def turtle(self) -> DataFrame:
+        return S.turtle_frame(self.triples())
+
+    def status(self) -> DataFrame:
+        return T.status_frame(self.convs, self.cits, self.mats)
+
+
+def kg_triples(transcripts: DataFrame, cache: bool = True) -> DataFrame:
+    return KGPipeline(transcripts, cache).triples()
+
+
+def kg_turtle(transcripts: DataFrame, cache: bool = True) -> DataFrame:
+    return KGPipeline(transcripts, cache).turtle()
+
+
+def kg_status(transcripts: DataFrame, cache: bool = True) -> DataFrame:
+    return KGPipeline(transcripts, cache).status()
+
+
+def precision_recall(
+    ours: list[tuple], reference: list[tuple]
+) -> dict[str, float]:
+    """Order-insensitive triple-set P/R (oracle shape:
+    /root/reference/test_noxslt.fish:34-48)."""
+    a, b = set(ours), set(reference)
+    inter = len(a & b)
+    return {
+        "precision": inter / len(a) if a else 1.0,
+        "recall": inter / len(b) if b else 1.0,
+        "ours": len(a), "reference": len(b), "common": inter,
+    }

@@ -1,0 +1,72 @@
+"""Incremental / streaming execution (A1 analog).
+
+The reference's "streaming" is a git-webhook job queue with
+at-least-once redelivery and idempotent per-file overwrite
+(/root/reference/src/action_worker.ts:59-197) — NOT event-time
+streaming.  The faithful Spark analog is therefore **incremental
+micro-batching over new input partitions** with idempotent bucket
+overwrite (materialize.py), plus an optional Structured Streaming
+front-end for continuously-arriving transcript files:
+
+* :func:`run_incremental` — batch-mode catch-up: process only
+  conversations whose bucket is missing from the sink manifest
+  (exact resume after failure; re-delivery safe).
+* :func:`stream_transcripts` — Structured Streaming file source →
+  ``foreachBatch`` running the full KG pipeline per micro-batch and
+  appending to the triple sink.  foreachBatch is the right tool
+  because the pipeline's grouped folds are per-conversation and each
+  conversation arrives whole (one file); no cross-batch state store
+  is needed — matching the reference's one-document-at-a-time unit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..pipeline import KGPipeline
+from ..sources.materialize import materialize
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def run_incremental(transcripts: DataFrame, sink_path: str,
+                    n_buckets: int = 32) -> dict:
+    """One catch-up batch: full pipeline, resume-aware materialize."""
+    pipe = KGPipeline(transcripts)
+    return materialize(pipe.triples(), sink_path, n_buckets, resume=True)
+
+
+def stream_transcripts(
+    spark: SparkSession, in_dir: str, sink_path: str,
+    checkpoint_dir: str, n_buckets: int = 32,
+):
+    """readStream(files) → per-micro-batch KG pipeline → triple sink.
+
+    Returns the StreamingQuery (caller awaits/stops).  Exactly-once at
+    bucket granularity: the file-source checkpoint prevents reprocessing
+    of seen files, and bucket overwrite keeps redelivery idempotent.
+    """
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(in_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pipe = KGPipeline(batch_df, cache=False)
+        materialize(
+            pipe.triples(), sink_path, n_buckets,
+            resume=False, run_id=f"batch-{batch_id}",
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
