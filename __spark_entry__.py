@@ -46,6 +46,24 @@ def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(transcripts_sql("documents", dialect="spark"))
 
 
+# One KGPipeline per sf_dir, with the triples frame persisted: the
+# driver invokes each query in its own call, and kg_triples_by_pred /
+# kg_status_counts / kg_taxon_name_uri would otherwise re-run the whole
+# pipeline each time.
+_PIPE_CACHE: dict = {}
+
+
+def _pipeline(spark: SparkSession, sf_dir: str):
+    from gg2rdf_spark.pipeline import KGPipeline
+
+    key = (id(spark), sf_dir)
+    if key not in _PIPE_CACHE:
+        pipe = KGPipeline(_transcripts(spark, sf_dir))
+        pipe._triples = pipe.triples().persist()
+        _PIPE_CACHE[key] = pipe
+    return _PIPE_CACHE[key]
+
+
 # ---------------------------------------------------------------------------
 # entry — flagship: full KG pipeline at sf0.001
 # ---------------------------------------------------------------------------
@@ -87,25 +105,19 @@ def _q_kg_treatment_taxon(spark, sf_dir):
 
 
 def _q_kg_taxon_name_uri(spark, sf_dir):
-    from gg2rdf_spark.pipeline import KGPipeline
-
-    pipe = KGPipeline(_transcripts(spark, sf_dir), cache=False)
+    pipe = _pipeline(spark, sf_dir)
     return pipe.convs.filter(F.col("seed_tnuri").isNotNull()).select(
         "conv_id", F.col("seed_tnuri").alias("tnuri")
     )
 
 
 def _q_kg_triples_by_pred(spark, sf_dir):
-    from gg2rdf_spark.pipeline import kg_triples
-
-    t = kg_triples(_transcripts(spark, sf_dir))
+    t = _pipeline(spark, sf_dir)._triples
     return t.groupBy("pred").agg(F.count("*").alias("n"))
 
 
 def _q_kg_status_counts(spark, sf_dir):
-    from gg2rdf_spark.pipeline import kg_status
-
-    s = kg_status(_transcripts(spark, sf_dir))
+    s = _pipeline(spark, sf_dir).status()
     return s.groupBy("status").agg(F.count("*").alias("n"))
 
 

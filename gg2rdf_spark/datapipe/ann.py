@@ -65,21 +65,27 @@ def brute_force_topk(
     )
 
 
-def sign_bucket(vec, n_bits: int = 8):
-    """Deterministic LSH bucket: bit j = sign of the sum of dimensions
-    congruent to j (mod n_bits).  Engine-portable (no RNG)."""
+def sign_bucket(vec, n_bits: int = 4, table: int = 0, n_tables: int = 4):
+    """Deterministic LSH bucket for one hash table: bit j = sign of the
+    sum of the dimension group ``i ≡ table*n_bits + j (mod
+    n_bits*n_tables)`` — disjoint axis-aligned projections per table
+    (engine-portable, no RNG).  A single b-bit bucket has collision
+    probability (1-θ/π)^b; multiple tables union their candidates to
+    recover recall (standard LSH amplification)."""
     dim = F.size(vec)
+    groups = n_bits * n_tables
 
-    def _mask(j: int):
+    def _mask(g: int):
         # closure factory: pyspark rejects lambdas with default args
         def pick_dim(x, i):
-            return F.when(i % n_bits == j, x.cast("double")).otherwise(F.lit(0.0))
+            return F.when(i % groups == g, x.cast("double")).otherwise(F.lit(0.0))
         return pick_dim
 
     bits = []
     for j in range(n_bits):
         s = F.aggregate(
-            F.zip_with(vec, F.sequence(F.lit(0), dim - 1), _mask(j)),
+            F.zip_with(vec, F.sequence(F.lit(0), dim - 1),
+                       _mask(table * n_bits + j)),
             F.lit(0.0), lambda acc, x: acc + x,
         )
         bits.append(F.when(s > 0, F.lit(2 ** j)).otherwise(F.lit(0)))
@@ -90,38 +96,58 @@ def sign_bucket(vec, n_bits: int = 8):
 
 
 def lsh_bucketed_topk(
-    emb: DataFrame, queries: DataFrame, k: int = 5, n_bits: int = 8,
+    emb: DataFrame, queries: DataFrame, k: int = 5, n_bits: int = 4,
+    n_tables: int = 4,
     vec_col: str = "embedding", id_col: str = "vec_id",
     multiprobe: bool = True,
 ) -> DataFrame:
-    """Bucketed ANN: candidates share the query's sign-bucket (or a
-    Hamming-1 neighbor bucket when ``multiprobe``), ranked by exact
-    cosine."""
+    """Multi-table bucketed ANN: a candidate matches the query's bucket
+    in ANY of ``n_tables`` independent sign-hash tables (plus Hamming-1
+    multiprobe within each table); candidates are then ranked by exact
+    cosine.  Replaces the |Q|·|C| cross product with |Q|·avg_bucket
+    per table."""
+    tbl_cols_c = [
+        sign_bucket(F.col(vec_col), n_bits, t, n_tables).alias(f"cb{t}")
+        for t in range(n_tables)
+    ]
     corpus = emb.select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"),
-        _norm(F.col(vec_col)).alias("cn"),
-        sign_bucket(F.col(vec_col), n_bits).alias("cb"),
-    )
+        _norm(F.col(vec_col)).alias("cn"), *tbl_cols_c,
+    ).withColumn(
+        "tb",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("t"), F.col(f"cb{t}").alias("b"))
+            for t in range(n_tables)
+        ])),
+    ).select("cid", "cv", "cn", F.col("tb.t").alias("ct"),
+             F.col("tb.b").alias("cb"))
+    tbl_cols_q = [
+        sign_bucket(F.col(vec_col), n_bits, t, n_tables).alias(f"qb{t}")
+        for t in range(n_tables)
+    ]
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
-        _norm(F.col(vec_col)).alias("qn"),
-        sign_bucket(F.col(vec_col), n_bits).alias("qb"),
+        _norm(F.col(vec_col)).alias("qn"), *tbl_cols_q,
     )
-    if multiprobe:
-        probes = F.array(
-            F.col("qb"), *[
-                F.col("qb").bitwiseXOR(F.lit(1 << j)) for j in range(n_bits)
-            ]
-        )
-        q = q.withColumn("probe", F.explode(probes))
-    else:
-        q = q.withColumn("probe", F.col("qb"))
+    probes = []
+    for t in range(n_tables):
+        probes.append(F.struct(F.lit(t).alias("t"), F.col(f"qb{t}").alias("b")))
+        if multiprobe:
+            probes.extend(
+                F.struct(
+                    F.lit(t).alias("t"),
+                    F.col(f"qb{t}").bitwiseXOR(F.lit(1 << j)).alias("b"),
+                )
+                for j in range(n_bits)
+            )
+    q = q.withColumn("probe", F.explode(F.array(*probes)))
     scored = corpus.join(
         F.broadcast(q),
-        (F.col("probe") == F.col("cb")) & (F.col("qid") != F.col("cid")),
-    ).withColumn(
+        (F.col("probe.t") == F.col("ct")) & (F.col("probe.b") == F.col("cb"))
+        & (F.col("qid") != F.col("cid")),
+    ).dropDuplicates(["qid", "cid"]).withColumn(
         "cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
-    ).dropDuplicates(["qid", "cid"])
+    )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -155,6 +155,11 @@ def conv_frame(docs: DataFrame, tt: DataFrame) -> DataFrame:
     joined = docs.join(
         tt.select("conv_id", "tt_attrs", "tt_status"), "conv_id", "left"
     )
+    # the bundle computation is CPU-bound Python per conversation: pin
+    # partitioning to cluster parallelism so AQE byte-based coalescing
+    # can't serialize it (measured: scaling efficiency 0.60 → see BENCH)
+    par = joined.sparkSession.sparkContext.defaultParallelism
+    joined = joined.repartition(par, "conv_id")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -201,7 +206,6 @@ def conv_frame(docs: DataFrame, tt: DataFrame) -> DataFrame:
 def citation_frame(mentions: DataFrame, convs: DataFrame) -> DataFrame:
     """One row per reference_group citation unit (gg2rdf.ts:327-341),
     ordered by document position within the conversation."""
-    w = Window.partitionBy("conv_id").orderBy("turn_idx", "start")
     cits = (
         mentions.filter(
             (F.col("section") == "reference_group")
@@ -209,12 +213,15 @@ def citation_frame(mentions: DataFrame, convs: DataFrame) -> DataFrame:
                 "treatmentCitationGroup", "treatmentCitation", "taxonomicName"
             )
         )
-        .withColumn("unit_ord", F.row_number().over(w))
-        .select("conv_id", "unit_ord", "attrs")
+        # g_ord (global mention order) is monotone in document order —
+        # exactly the property the fold and ord keys need; no new window
+        .select("conv_id", F.col("g_ord").alias("unit_ord"), "attrs")
     )
     joined = cits.join(
         convs.select("conv_id", "doc_attrs", "tt_attrs"), "conv_id", "left"
     )
+    par = joined.sparkSession.sparkContext.defaultParallelism
+    joined = joined.repartition(par, "conv_id")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -248,7 +255,6 @@ def citation_frame(mentions: DataFrame, convs: DataFrame) -> DataFrame:
 
 
 def figure_frame(mentions: DataFrame) -> DataFrame:
-    w = Window.partitionBy("conv_id").orderBy("turn_idx", "start")
     figs = (
         mentions.filter(
             (F.col("kind") == "figureCitation")
@@ -257,8 +263,7 @@ def figure_frame(mentions: DataFrame) -> DataFrame:
                 | F.map_contains_key(F.col("attrs"), "figureDoi")
             )
         )
-        .withColumn("ord", F.row_number().over(w))
-        .select("conv_id", "ord", "attrs")
+        .select("conv_id", F.col("g_ord").alias("ord"), "attrs")
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -278,11 +283,9 @@ def figure_frame(mentions: DataFrame) -> DataFrame:
 
 
 def material_frame(mentions: DataFrame, convs: DataFrame) -> DataFrame:
-    w = Window.partitionBy("conv_id").orderBy("turn_idx", "start")
     mats = (
         mentions.filter(F.col("kind") == "materialsCitation")
-        .withColumn("ord", F.row_number().over(w))
-        .select("conv_id", "ord", "attrs")
+        .select("conv_id", F.col("g_ord").alias("ord"), "attrs")
         .join(convs.select("conv_id", "doc_id"), "conv_id", "left")
     )
 
@@ -303,11 +306,9 @@ def material_frame(mentions: DataFrame, convs: DataFrame) -> DataFrame:
 
 
 def vernacular_frame(mentions: DataFrame) -> DataFrame:
-    w = Window.partitionBy("conv_id").orderBy("turn_idx", "start")
     verns = (
         mentions.filter(F.col("kind") == "vernacularName")
-        .withColumn("ord", F.row_number().over(w))
-        .select("conv_id", "ord", "attrs", "surface")
+        .select("conv_id", F.col("g_ord").alias("ord"), "attrs", "surface")
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -36,8 +36,10 @@ MENTION_SCHEMA = StructType([
 
 
 def parse_mentions(transcripts: DataFrame) -> DataFrame:
-    """transcripts → one row per mention span, in (turn_idx, start)
-    document order.  Pure map-side work (A3 analog)."""
+    """transcripts → one row per mention span, with a per-conversation
+    global document-order column ``g_ord`` (row_number over (turn_idx,
+    start) — ONE shuffle, reused by every downstream frame instead of
+    per-kind windows).  The parse itself is pure map-side work (A3)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -54,9 +56,11 @@ def parse_mentions(transcripts: DataFrame) -> DataFrame:
                 rows, columns=[f.name for f in MENTION_SCHEMA.fields]
             )
 
-    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+    parsed = transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
         gen, MENTION_SCHEMA
     )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "start")
+    return parsed.withColumn("g_ord", F.row_number().over(w))
 
 
 def docs_frame(transcripts: DataFrame, mentions: DataFrame) -> DataFrame:
@@ -92,19 +96,16 @@ def treatment_taxon(mentions: DataFrame) -> DataFrame:
     (gg2rdf.ts:136-138) plus the taxonomicNameLabel status fallback
     (:249-254): first label *after* the taxon in the same turn, else a
     same-turn label whose rank matches the taxon's."""
-    w = Window.partitionBy("conv_id").orderBy("turn_idx", "start")
     tt = (
         mentions.filter(
             (F.col("kind") == "taxonomicName")
             & (F.col("section") == "nomenclature")
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "conv_id",
-            F.col("attrs").alias("tt_attrs"),
-            F.col("turn_idx").alias("tt_turn"),
-            F.col("start").alias("tt_start"),
+        .groupBy("conv_id")
+        .agg(
+            F.min_by(F.col("attrs"), F.col("g_ord")).alias("tt_attrs"),
+            F.min_by(F.col("turn_idx"), F.col("g_ord")).alias("tt_turn"),
+            F.min_by(F.col("start"), F.col("g_ord")).alias("tt_start"),
         )
     )
     labels = mentions.filter(F.col("kind") == "taxonomicNameLabel").select(

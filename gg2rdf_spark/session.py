@@ -35,6 +35,11 @@ def build_session(
         # AQE: runtime coalescing + skew-join splitting (north_rule skew)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # don't let AQE coalesce small-byte but CPU-heavy (Arrow/pandas)
+        # partitions below real parallelism: bundle rows are ~KB on the
+        # wire but cost ms of Python each (1MB default min-size was
+        # serializing the conv-level pass onto 2-3 cores)
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # constraint propagation is O(n²) in predicate/CASE tree size and
         # blows up planning on our wide synthetic-corpus expressions

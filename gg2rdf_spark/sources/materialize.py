@@ -34,12 +34,18 @@ def with_bucket(triples: DataFrame, n_buckets: int = 32) -> DataFrame:
 def materialize(
     triples: DataFrame, path: str, n_buckets: int = 32,
     resume: bool = True, run_id: str | None = None,
+    overwrite: bool = True,
 ) -> dict:
     """Write triples partitioned by (conv_bucket); returns counters.
 
     With ``resume=True``, buckets already recorded in the manifest are
     skipped (exact resume); the write itself uses dynamic partition
     overwrite so rerunning a half-finished bucket is idempotent.
+
+    ``overwrite=False`` appends instead — for streaming micro-batches
+    whose delivery is already exactly-once via the source checkpoint
+    (bucket overwrite would clobber earlier batches' rows sharing a
+    bucket).
     """
     spark = triples.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -69,7 +75,7 @@ def materialize(
     if counters:
         (
             df.repartition("conv_bucket")
-            .write.mode("overwrite")
+            .write.mode("overwrite" if overwrite else "append")
             .partitionBy("conv_bucket")
             .parquet(os.path.join(path, "data"))
         )

@@ -59,9 +59,12 @@ def stream_transcripts(
         if batch_df.isEmpty():
             return
         pipe = KGPipeline(batch_df, cache=False)
+        # append, not bucket-overwrite: the file-source checkpoint is
+        # already exactly-once, and overwrite would clobber earlier
+        # batches' rows in shared buckets
         materialize(
             pipe.triples(), sink_path, n_buckets,
-            resume=False, run_id=f"batch-{batch_id}",
+            resume=False, run_id=f"batch-{batch_id}", overwrite=False,
         )
 
     return (

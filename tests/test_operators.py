@@ -1,0 +1,169 @@
+"""Operator-level tests: datapipe, linking, canonicalization,
+materialization resume, streaming — on small deterministic inputs."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "completely different text about spark pipelines and scale"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (4, "spark pipelines and scale considerations for big data"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestDedup:
+    def test_exact(self, spark, docs):
+        from gg2rdf_spark.datapipe.dedup import exact_dedup
+
+        out = {r.keep_id: r.n_dups for r in exact_dedup(docs).collect()}
+        assert out[0] == 2  # docs 0 and 3 identical
+        assert sum(out.values()) == 5
+
+    def test_minhash_finds_near_dup(self, spark, docs):
+        from gg2rdf_spark.datapipe.dedup import minhash_lsh_pairs
+
+        pairs = {(r.id_a, r.id_b) for r in
+                 minhash_lsh_pairs(docs, jaccard_threshold=0.4).collect()}
+        assert (0, 3) in pairs  # exact dup certainly caught
+        assert (0, 1) in pairs  # one-word difference
+        assert not any({a, b} == {0, 2} for a, b in pairs)
+
+    def test_simhash_hamming(self, spark, docs):
+        from gg2rdf_spark.datapipe.dedup import simhash64
+
+        sig = {r.id: r.simhash for r in simhash64(docs).collect()}
+        assert sig[0] == sig[3]  # identical docs → identical signature
+        ham01 = bin(sig[0] ^ sig[1]).count("1")
+        ham02 = bin(sig[0] ^ sig[2]).count("1")
+        assert ham01 < ham02  # near-dup closer than unrelated
+
+    def test_ngram_jaccard(self, spark, docs):
+        from gg2rdf_spark.datapipe.dedup import ngram_jaccard_pairs
+
+        pairs = {(r.id_a, r.id_b): r.jaccard
+                 for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+        assert pairs.get((0, 3)) == 1.0
+
+
+class TestANN:
+    def test_lsh_recall_vs_bruteforce(self, spark):
+        from gg2rdf_spark.datapipe.ann import brute_force_topk, lsh_bucketed_topk
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 5)
+        bf = {(r.qid, r.cid) for r in brute_force_topk(emb, q, k=5).collect()}
+        lsh = {(r.qid, r.cid) for r in lsh_bucketed_topk(emb, q, k=5).collect()}
+        recall = len(bf & lsh) / len(bf)
+        assert recall >= 0.4, recall  # multiprobe 8-bit buckets, 64-dim
+
+
+class TestLinking:
+    def test_salted_equals_plain(self, spark):
+        from gg2rdf_spark.operators.extract import parse_mentions
+        from gg2rdf_spark.operators.linking import (
+            entity_dictionary, link_mentions, link_mentions_salted,
+        )
+        from gg2rdf_spark.sources.synthsql import transcripts_sql
+
+        tr = spark.sql(transcripts_sql(
+            "(SELECT id AS doc_id FROM range(80))", dialect="spark"))
+        m = parse_mentions(tr).persist()
+        d = entity_dictionary(spark)
+        plain = set(map(tuple, link_mentions(m, d)
+                        .select("conv_id", "entity_id").collect()))
+        salted = set(map(tuple, link_mentions_salted(m, d, salts=8)
+                         .select("conv_id", "entity_id").collect()))
+        assert plain == salted and len(plain) > 0
+
+
+class TestCanonicalize:
+    def test_cc_chains(self, spark):
+        from gg2rdf_spark.operators.canonicalize import connected_components
+
+        # two chains + one isolated edge
+        edges = spark.createDataFrame(
+            [("b", "a"), ("c", "b"), ("e", "d"), ("x", "y")],
+            "src string, dst string",
+        )
+        comp = {r.node: r.component
+                for r in connected_components(edges).collect()}
+        assert comp["a"] == comp["b"] == comp["c"] == "a"
+        assert comp["d"] == comp["e"] == "d"
+        assert comp["x"] == comp["y"] == "x"
+
+    def test_canonical_triples_rewrite(self, spark):
+        from gg2rdf_spark.operators.canonicalize import (
+            canonical_triples, connected_components,
+        )
+
+        edges = spark.createDataFrame(
+            [("<u2>", "<u1>")], "src string, dst string")
+        labels = connected_components(edges)
+        triples = spark.createDataFrame(
+            [("c1", "<u2>", "a", "<k>"), ("c1", "<u1>", "a", "<k>")],
+            "conv_id string, subj string, pred string, obj string",
+        )
+        out = canonical_triples(triples, labels).collect()
+        assert len(out) == 1 and out[0].subj == "<u1>"
+
+
+class TestMaterialize:
+    def test_resume_skips_done_buckets(self, spark, tmp_path):
+        from gg2rdf_spark.sources.materialize import (
+            materialize, read_manifest, read_triples,
+        )
+
+        t = spark.createDataFrame(
+            [(f"c{i}", 2, 0, f"<s{i}>", "a", "<k>", 0) for i in range(40)],
+            "conv_id string, block int, subj_ord long, subj string, "
+            "pred string, obj string, obj_ord long",
+        )
+        path = str(tmp_path / "sink")
+        r1 = materialize(t, path, n_buckets=8)
+        assert r1["written_buckets"] > 0 and r1["skipped_buckets"] == 0
+        assert read_triples(spark, path).count() == 40
+        # second run: everything already recorded → full skip
+        r2 = materialize(t, path, n_buckets=8)
+        assert r2["written_buckets"] == 0
+        assert r2["skipped_buckets"] == r1["written_buckets"]
+        assert read_manifest(spark, path).count() == r1["written_buckets"]
+        assert read_triples(spark, path).count() == 40
+
+
+class TestStreaming:
+    @pytest.mark.slow
+    def test_foreachbatch_incremental(self, spark, tmp_path):
+        from gg2rdf_spark.sources.synthsql import transcripts_sql
+        from gg2rdf_spark.streaming.incremental import stream_transcripts
+
+        in_dir = str(tmp_path / "in")
+        sink = str(tmp_path / "sink")
+        ckpt = str(tmp_path / "ckpt")
+        tr = spark.sql(transcripts_sql(
+            "(SELECT id AS doc_id FROM range(30))", dialect="spark"))
+        tr.coalesce(1).write.mode("overwrite").parquet(in_dir)
+
+        q = stream_transcripts(spark, in_dir, sink, ckpt)
+        q.awaitTermination(300)
+        from gg2rdf_spark.sources.materialize import read_triples
+
+        n1 = read_triples(spark, sink).count()
+        assert n1 > 500
+
+        # second batch of NEW conversations → appended incrementally
+        tr2 = spark.sql(transcripts_sql(
+            "(SELECT id + 1000 AS doc_id FROM range(10))", dialect="spark"))
+        tr2.coalesce(1).write.mode("append").parquet(in_dir)
+        q2 = stream_transcripts(spark, in_dir, sink, ckpt)
+        q2.awaitTermination(300)
+        n2 = read_triples(spark, sink).count()
+        assert n2 > n1

@@ -1,0 +1,122 @@
+"""Scaling-efficiency evidence (BASELINE.json north_rule).
+
+The rule demands throughput scaling efficiency ≥0.8 from N to 4N
+executors.  No real cluster exists in this sandbox, so per the driver
+instruction we run the SAME job at two parallelism levels —
+local[8] (N) and local[32] (4N) — on the same materialized input and
+report throughput at both plus efficiency = (T_N8/T_N32) / 4 ... i.e.
+speedup/4.
+
+Each measurement is a fresh SparkSession (JVM reused per process would
+bias JIT warm-up, so each level runs in its own subprocess) and the
+pipeline runs twice per level — the second (warm) run is reported, so
+one-time codegen/JIT cost doesn't masquerade as serial fraction.
+
+The corpus size matters: at tiny inputs the measurement is dominated
+by constant driver work (planning a ~100-stage DAG, scheduling) that
+is identical at both levels and vanishes at production scale; the
+default therefore generates a 50k-conversation corpus from range()
+(the SQL recipe only needs doc_id) so the parallel fraction dominates.
+
+Usage: python tools/scaling.py [n_convs] [out_json]
+Appends a markdown section to BENCH.md.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+RUNNER = r"""
+import json, sys, time, tempfile
+sys.path.insert(0, "/root/repo")
+from gg2rdf_spark.session import build_session
+from gg2rdf_spark.pipeline import KGPipeline
+
+cpus, tr_path = int(sys.argv[1]), sys.argv[2]
+spark = build_session(app_name=f"scale-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+transcripts = spark.read.parquet(tr_path)
+results = []
+for it in range(2):
+    t0 = time.time()
+    n = KGPipeline(transcripts).triples().count()
+    results.append({"sec": round(time.time() - t0, 3), "triples": n})
+spark.stop()
+print("RESULT " + json.dumps({"cpus": cpus, "runs": results}))
+"""
+
+
+def measure(cpus: int, tr_path: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", RUNNER, str(cpus), tr_path],
+        capture_output=True, text=True, timeout=3600,
+        cwd="/root/repo",
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT in output: {out.stdout[-2000:]}\n"
+                       f"{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    out_json = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scaling.json"
+
+    # materialize the corpus once so both levels read identical input
+    sys.path.insert(0, "/root/repo")
+    import tempfile
+
+    from gg2rdf_spark.session import build_session
+    from gg2rdf_spark.sources.synthsql import transcripts_sql
+
+    tr_path = tempfile.mkdtemp(prefix="scaling_transcripts_")
+    spark = build_session(app_name="scaling-gen", master="local[32]")
+    spark.sql(
+        transcripts_sql(f"(SELECT id AS doc_id FROM range({n_convs}))",
+                        dialect="spark")
+    ).repartition(128).write.mode("overwrite").parquet(tr_path)
+    spark.stop()
+
+    r8 = measure(8, tr_path)
+    r32 = measure(32, tr_path)
+
+    s8 = r8["runs"][-1]["sec"]
+    s32 = r32["runs"][-1]["sec"]
+    triples = r8["runs"][-1]["triples"]
+    speedup = s8 / s32
+    eff = speedup / 4
+    result = {
+        "n_convs": n_convs,
+        "triples": triples,
+        "local8": {"sec": s8, "triples_per_sec": round(triples / s8, 1),
+                   "runs": r8["runs"]},
+        "local32": {"sec": s32, "triples_per_sec": round(triples / s32, 1),
+                    "runs": r32["runs"]},
+        "speedup_8_to_32": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+    }
+    with open(out_json, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+    md = f"""
+## Scaling: local[8] → local[32] (N → 4N proxy, same input)
+
+| level | warm wall (s) | triples/sec |
+|---|---|---|
+| local[8] (N) | {s8} | {round(triples / s8, 1)} |
+| local[32] (4N) | {s32} | {round(triples / s32, 1)} |
+
+Speedup {round(speedup, 2)}× over 4× cores → **scaling efficiency
+{round(eff, 3)}** (target ≥0.8, BASELINE.json north_rule).  Corpus:
+{triples} triples from a {n_convs}-conversation range()-derived corpus;
+warm (2nd) run reported per level; each level in a fresh JVM.
+"""
+    with open("/root/repo/BENCH.md", "a") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()
