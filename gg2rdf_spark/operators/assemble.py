@@ -347,11 +347,13 @@ def citation_fold(cits: DataFrame, convs: DataFrame) -> DataFrame:
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("unit_ord")
         cited: set[str] = set()
-        if len(pdf) and pdf.iloc[0]["seed_uri"]:
-            cited.add(pdf.iloc[0]["seed_uri"])
-        if len(pdf) and pdf.iloc[0]["seed_tnuri"]:
-            cited.add(pdf.iloc[0]["seed_tnuri"])
-        treatment_uri = pdf.iloc[0]["seed_uri"] if len(pdf) else None
+        seed_uri = pdf.iloc[0]["seed_uri"] if len(pdf) else None
+        seed_tnuri = pdf.iloc[0]["seed_tnuri"] if len(pdf) else None
+        if isinstance(seed_uri, str) and seed_uri:
+            cited.add(seed_uri)
+        if isinstance(seed_tnuri, str) and seed_tnuri:
+            cited.add(seed_tnuri)
+        treatment_uri = seed_uri if isinstance(seed_uri, str) else None
         out = []
 
         def emit(u, pred, obj, name_emitted=False):
@@ -396,4 +398,23 @@ def citation_fold(cits: DataFrame, convs: DataFrame) -> DataFrame:
             out, columns=[f.name for f in FOLD_SCHEMA.fields]
         )
 
-    return joined.groupBy("conv_id").applyInPandas(fold, FOLD_SCHEMA)
+    # partition-level Arrow pass with an in-batch pandas groupby: a
+    # per-group applyInPandas pays ~ms of pandas overhead per group
+    # (20k tiny groups ≈ 10 s); hash-repartitioning by conv_id keeps
+    # each conversation whole within one partition, and concatenating
+    # the partition's batches keeps it whole across Arrow chunks.
+    par = joined.sparkSession.sparkContext.defaultParallelism
+
+    def fold_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        for _, grp in pdf.groupby("conv_id", sort=False):
+            out = fold(grp)
+            if len(out):
+                yield out
+
+    return joined.repartition(par, "conv_id").mapInPandas(
+        fold_partition, FOLD_SCHEMA
+    )

@@ -169,18 +169,19 @@ def triples_frame(
     )
     treatment = t_base.unionByName(t_fold).unionByName(t_mats) \
         .unionByName(t_figs).unionByName(t_type)
-    # D4: cito:cites ∖ trt:deprecates (anti-join on obj)
-    deprecated = treatment.filter(F.col("pred") == "trt:deprecates") \
-        .select("conv_id", F.col("obj").alias("dep_obj")).distinct()
-    cites = treatment.filter(F.col("pred") == "cito:cites")
-    cites_kept = cites.join(
-        deprecated,
-        (cites["conv_id"] == deprecated["conv_id"])
-        & (cites["obj"] == deprecated["dep_obj"]),
-        "left_anti",
+    # D4: cito:cites ∖ trt:deprecates — one window over (conv, obj)
+    # instead of a self-anti-join (which re-derived the treatment-frame
+    # lineage three times)
+    w_dep = Window.partitionBy("conv_id", "obj")
+    treatment = (
+        treatment.withColumn(
+            "has_dep",
+            F.max(F.when(F.col("pred") == "trt:deprecates", 1).otherwise(0))
+            .over(w_dep),
+        )
+        .filter(~((F.col("pred") == "cito:cites") & (F.col("has_dep") == 1)))
+        .drop("has_dep")
     )
-    treatment = treatment.filter(F.col("pred") != "cito:cites") \
-        .unionByName(cites_kept)
     parts.append(treatment)
 
     # ---- publication subject (block 3) --------------------------------
@@ -258,9 +259,6 @@ def triples_frame(
             F.col("lvl.props").alias("props"),
         )
     )
-    pushes = n_all.filter("push").groupBy("conv_id", "uri").agg(
-        F.min("full_ord").alias("min_push")
-    )
     vern_rows = verns.join(
         ok.filter(F.col("vern_target").isNotNull())
         .select("conv_id", "vern_target"),
@@ -269,11 +267,19 @@ def triples_frame(
         "conv_id", F.col("vern_target").alias("uri"), F.lit(False).alias("push"),
         (F.lit(500) + F.col("ord")).alias("full_ord"), "props",
     )
+    # subject existence + first-push order via ONE window over (conv,
+    # uri) — a groupBy+self-join here re-evaluated the whole name-frame
+    # lineage twice (measured ~15 s at 20k convs)
+    w_push = Window.partitionBy("conv_id", "uri")
     n_rows = (
         n_all.select("conv_id", "uri", "push", "full_ord", "props")
         .unionByName(vern_rows)
-        .join(pushes, ["conv_id", "uri"], "inner")
-        .filter(F.col("min_push") <= F.col("full_ord"))
+        .withColumn(
+            "min_push",
+            F.min(F.when(F.col("push"), F.col("full_ord"))).over(w_push),
+        )
+        .filter(F.col("min_push").isNotNull()
+                & (F.col("min_push") <= F.col("full_ord")))
         .withColumn("subj_ord", F.col("min_push"))
         .select(
             "conv_id", "uri", "subj_ord", "full_ord",

@@ -45,6 +45,10 @@ class KGPipeline:
         if cache:
             self.cits = self.cits.persist()
         self.fold = A.citation_fold(self.cits, self.convs)
+        if cache:
+            # the fold feeds 3+ union branches of the triples frame;
+            # unpersisted it re-runs the grouped Python pass per branch
+            self.fold = self.fold.persist()
         self.figs = A.figure_frame(self.mentions)
         self.mats = A.material_frame(self.mentions, self.convs)
         if cache:
