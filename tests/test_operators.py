@@ -167,3 +167,28 @@ class TestStreaming:
         q2.awaitTermination(300)
         n2 = read_triples(spark, sink).count()
         assert n2 > n1
+
+
+class TestDelete:
+    def test_delete_conversations(self, spark, tmp_path):
+        """A5 delete analog: removing conversations rewrites only their
+        buckets (gg2rdf deletes the .ttl of a removed .xml,
+        action_worker.ts:179-190)."""
+        from gg2rdf_spark.sources.materialize import (
+            delete_conversations, materialize, read_triples,
+        )
+
+        t = spark.createDataFrame(
+            [(f"c{i}", 2, 0, f"<s{i}>", "a", "<k>", 0) for i in range(30)],
+            "conv_id string, block int, subj_ord long, subj string, "
+            "pred string, obj string, obj_ord long",
+        )
+        path = str(tmp_path / "sink")
+        materialize(t, path, n_buckets=4)
+        assert read_triples(spark, path).count() == 30
+        stats = delete_conversations(spark, path, ["c1", "c2", "c3"],
+                                     n_buckets=4)
+        assert stats["triples_removed"] == 3
+        left = read_triples(spark, path)
+        assert left.count() == 27
+        assert left.filter("conv_id in ('c1','c2','c3')").count() == 0
