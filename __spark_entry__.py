@@ -238,19 +238,30 @@ def _q_rel_status_max(spark, sf_dir):  # G1 — severity max aggregate
     )
 
 
+# Money sums are emitted as exact bigint MICRO-units: decimal sums are
+# bit-identical across engines, but their client renderings are not
+# (Spark collect → Decimal('…000000'), DuckDB .df() → float64), so the
+# driver's stringified value hash diverges on representation alone.
+# (sum * 1e6) of a scale-6 decimal is an exact integer — hash-stable.
+
+
 def _q_tpch_q1(spark, sf_dir):
     _load(spark, sf_dir, "lineitem")
     li = spark.table("lineitem").filter(
         F.col("l_shipdate") <= F.lit("2024-09-01")
     )
     d = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+
+    def mu(x):
+        return (x.cast("decimal(38,6)") * 1000000).cast("long")
+
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(d("l_quantity")).cast("decimal(38,6)").alias("sum_qty"),
-            F.sum(d("l_extendedprice")).cast("decimal(38,6)").alias("sum_base"),
-            F.sum((d("l_extendedprice") * (F.lit(1).cast("decimal(18,6)")
-                   - d("l_discount")))).cast("decimal(38,6)").alias("sum_disc"),
+            mu(F.sum(d("l_quantity"))).alias("sum_qty_micros"),
+            mu(F.sum(d("l_extendedprice"))).alias("sum_base_micros"),
+            mu(F.sum((d("l_extendedprice") * (F.lit(1).cast("decimal(18,6)")
+               - d("l_discount"))))).alias("sum_disc_micros"),
             F.count("*").alias("count_order"),
         )
     )
@@ -268,10 +279,11 @@ def _q_tpch_q3(spark, sf_dir):
     )
     return (
         j.groupBy("o_orderkey")
-        .agg(F.sum(d("l_extendedprice") * (F.lit(1).cast("decimal(18,6)")
-                                           - d("l_discount")))
-             .cast("decimal(38,6)").alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .agg((F.sum(d("l_extendedprice") * (F.lit(1).cast("decimal(18,6)")
+                                            - d("l_discount")))
+              .cast("decimal(38,6)") * 1000000).cast("long")
+             .alias("revenue_micros"))
+        .orderBy(F.desc("revenue_micros"), F.asc("o_orderkey"))
         .limit(10)
     )
 
@@ -410,11 +422,17 @@ def _q_event_window_agg(spark, sf_dir):  # streaming-analog tumbling window
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("decimal(38,6)").alias("sum_value"),
+            (F.sum(F.col("value").cast("decimal(18,6)"))
+             .cast("decimal(38,6)") * 1000000).cast("long")
+            .alias("sum_value_micros"),
         )
-        .select(F.col("w.start").alias("hour_start"), "event_type", "n",
-                "sum_value")
+        # string-render the hour so both engines hash identical bytes
+        # (datetime64[ns] vs [us] client types otherwise)
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
+            .alias("hour_start"),
+            "event_type", "n", "sum_value_micros",
+        )
     )
 
 
@@ -640,6 +658,71 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def _ann_lsh_oracle(k: int = 5, n_bits: int = 4, n_tables: int = 4) -> str:
+    """Exact replica of datapipe/ann.py::lsh_bucketed_topk — the sign
+    planes are deterministic dimension-group sums (plane j of table t =
+    sign of Σ v[i] over i ≡ t*n_bits+j mod n_bits*n_tables), so DuckDB
+    reconstructs the same buckets, multiprobe set, and exact-cosine
+    ranking with no RNG involved."""
+    groups = n_bits * n_tables
+    # per-vector group sums, masked list_sum (same fold shape as the
+    # Spark F.aggregate, empirically bit-stable across both engines)
+    gsum = (
+        "list_sum(list_transform(list_zip(v, range(0, len(v))), "
+        "x -> CASE WHEN cast(x[2] as int) % {groups} = {g} "
+        "THEN cast(x[1] as double) ELSE 0.0 END))"
+    )
+    buckets = ", ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN {gsum.format(groups=groups, g=t * n_bits + j)} > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(n_bits)
+        )
+        + f") AS b{t}"
+        for t in range(n_tables)
+    )
+    bkt_rows = " UNION ALL ".join(
+        f"SELECT id, {t} AS t, b{t} AS b FROM sig" for t in range(n_tables)
+    )
+    probe_rows = " UNION ".join(
+        [f"SELECT id AS qid, t, b FROM bkt WHERE id < 10"]
+        + [
+            f"SELECT id, t, xor(b, {1 << j}) FROM bkt WHERE id < 10"
+            for j in range(n_bits)
+        ]
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id AS id, embedding AS v, {_NORM.format('embedding')} AS nrm
+  FROM embeddings
+),
+sig AS (SELECT id, {buckets} FROM (SELECT id, v FROM base)),
+bkt AS ({bkt_rows}),
+probes AS ({probe_rows}),
+cand AS (
+  SELECT DISTINCT p.qid, c.id AS cid
+  FROM probes p JOIN bkt c ON c.t = p.t AND c.b = p.b
+  WHERE c.id <> p.qid
+),
+scored AS (
+  SELECT cand.qid, cand.cid,
+         list_sum(list_transform(list_zip(a.v, b.v),
+           x -> cast(x[1] as double) * cast(x[2] as double)))
+         / (a.nrm * b.nrm) AS cosine
+  FROM cand JOIN base a ON a.id = cand.qid JOIN base b ON b.id = cand.cid
+),
+ranked AS (
+  SELECT qid, cid, cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, cid ASC) AS rank
+  FROM scored
+)
+SELECT qid, cid, round(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _mm_chain(n: int) -> list[str]:
     out, cur = [], "md5(text)"
     for _ in range(n):
@@ -729,10 +812,16 @@ def oracle_sql() -> dict[str, str]:
     sqls["kg_mentions_by_kind"] = _kg_mentions_oracle()
     sqls["kg_treatment_taxon"] = _kg_treatment_taxon_oracle()
     sqls["kg_taxon_name_uri"] = _kg_taxon_name_uri_oracle()
-    # kg_triples_by_pred / kg_status_counts: full-pipeline outputs — not
-    # SQL-expressible (order-sensitive fold); driver rows-only check.
-    # The real gate for those is tests/test_pipeline_parity.py (P/R=1.0
-    # vs the serial reference-semantics oracle).
+    # Full-pipeline outputs, reconstructed in recipe SQL (the corpus is
+    # itself SQL-generated, so per-pred counts and per-conv status are
+    # deterministic functions of the same picks — kgoracle.py rebuilds
+    # every emission site + Set dedup relationally, fit per-conv exact
+    # against the serial reference-semantics oracle at sf0.01 AND sf0.1)
+    from gg2rdf_spark.sources.kgoracle import (
+        kg_status_counts_sql, kg_triples_by_pred_sql,
+    )
+    sqls["kg_triples_by_pred"] = kg_triples_by_pred_sql()
+    sqls["kg_status_counts"] = kg_status_counts_sql()
 
     sqls["rel_filter_project"] = """
 SELECT event_id, user_id, round(value, 2) AS value
@@ -792,26 +881,28 @@ FROM events GROUP BY user_id
 """
     sqls["tpch_q1"] = """
 SELECT l_returnflag, l_linestatus,
-  cast(sum(cast(l_quantity as decimal(18,6))) as decimal(38,6)) AS sum_qty,
-  cast(sum(cast(l_extendedprice as decimal(18,6))) as decimal(38,6)) AS sum_base,
-  cast(sum(cast(l_extendedprice as decimal(18,6))
+  cast(cast(sum(cast(l_quantity as decimal(18,6))) as decimal(38,6))
+       * 1000000 as bigint) AS sum_qty_micros,
+  cast(cast(sum(cast(l_extendedprice as decimal(18,6))) as decimal(38,6))
+       * 1000000 as bigint) AS sum_base_micros,
+  cast(cast(sum(cast(l_extendedprice as decimal(18,6))
        * (cast(1 as decimal(18,6)) - cast(l_discount as decimal(18,6))))
-       as decimal(38,6)) AS sum_disc,
+       as decimal(38,6)) * 1000000 as bigint) AS sum_disc_micros,
   count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '2024-09-01'
 GROUP BY l_returnflag, l_linestatus
 """
     sqls["tpch_q3"] = """
 SELECT o_orderkey,
-  cast(sum(cast(l_extendedprice as decimal(18,6))
+  cast(cast(sum(cast(l_extendedprice as decimal(18,6))
        * (cast(1 as decimal(18,6)) - cast(l_discount as decimal(18,6))))
-       as decimal(38,6)) AS revenue
+       as decimal(38,6)) * 1000000 as bigint) AS revenue_micros
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
 WHERE c_mktsegment = 'BUILDING'
 GROUP BY o_orderkey
-ORDER BY revenue DESC, o_orderkey ASC
+ORDER BY revenue_micros DESC, o_orderkey ASC
 LIMIT 10
 """
     sqls["dedup_exact"] = """
@@ -824,8 +915,9 @@ FROM documents GROUP BY md5(text)
     sqls["dedup_ngram_jaccard"] = _ngram_jaccard_oracle()
     sqls["neardup_embedding"] = _neardup_embedding_oracle()
     sqls["ann_bruteforce"] = _ann_bruteforce_oracle()
-    # ann_lsh: approximate by construction — rows-only (its recall vs
-    # brute force is asserted in tests/test_datapipe.py)
+    # ann_lsh: the LSH is deterministic (no RNG) — exact-replica oracle;
+    # recall vs brute force is additionally asserted in pytest
+    sqls["ann_lsh"] = _ann_lsh_oracle()
 
     sqls["text_langid"] = f"""
 WITH base AS (
@@ -894,9 +986,11 @@ FROM customer WHERE c_custkey >= 50 OR c_custkey IN (
 """
     sqls["linking_join"] = _linking_oracle()
     sqls["event_window_agg"] = """
-SELECT date_trunc('hour', ts) AS hour_start, event_type,
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+  event_type,
   count(*) AS n,
-  cast(sum(cast(value as decimal(18,6))) as decimal(38,6)) AS sum_value
+  cast(cast(sum(cast(value as decimal(18,6))) as decimal(38,6))
+       * 1000000 as bigint) AS sum_value_micros
 FROM events GROUP BY 1, 2
 """
     return sqls

@@ -7,28 +7,21 @@ Usage: python tools/check_entry.py [sf_dir] [query ...]
 
 import sys
 import time
-from decimal import Decimal
 
 sys.path.insert(0, "/root/repo")
 
 
-def canon(rows, cols):
+def canon(pdf):
+    """STRICT canonicalization: the raw str() of every value after
+    client-side pandas conversion, rows sorted.  This mirrors the
+    driver's value hash — a Decimal('1.000000') vs float 1.0 rendering
+    difference is a real failure here (round-1 lesson: a 6-dp float
+    canon hid three such mismatches)."""
+    cols = sorted(pdf.columns)
     out = []
-    for r in rows:
-        vals = []
-        d = dict(zip(cols, r)) if not hasattr(r, "asDict") else r.asDict()
-        for c in sorted(cols):
-            v = d[c]
-            if isinstance(v, float):
-                v = f"{v:.6f}"
-            elif isinstance(v, Decimal):
-                v = f"{float(v):.6f}"
-            elif v is None:
-                v = "<null>"
-            else:
-                v = str(v)
-            vals.append(v)
-        out.append(tuple(vals))
+    for r in pdf[cols].itertuples(index=False):
+        out.append(tuple("<null>" if v is None or v != v else str(v)
+                         for v in r))
     return sorted(out)
 
 
@@ -58,32 +51,31 @@ def main():
         try:
             df = fn(spark, sf_dir)
             cols = df.columns
-            rows = df.collect()
+            spdf = df.toPandas()
         except Exception as e:  # noqa: BLE001
             results[name] = f"SPARK-ERROR {type(e).__name__}: {str(e)[:300]}"
             print(f"{name}: {results[name]}", flush=True)
             continue
         el = time.time() - t0
         if name not in oracles:
-            results[name] = f"rows-only ({len(rows)} rows, {el:.1f}s)"
+            results[name] = f"rows-only ({len(spdf)} rows, {el:.1f}s)"
             print(f"{name}: {results[name]}", flush=True)
             continue
         try:
-            orc = con.execute(oracles[name])
-            ocols = [d[0] for d in orc.description]
-            orows = orc.fetchall()
+            odf = con.execute(oracles[name]).df()
+            ocols = list(odf.columns)
         except Exception as e:  # noqa: BLE001
             results[name] = f"ORACLE-ERROR {type(e).__name__}: {str(e)[:300]}"
             print(f"{name}: {results[name]}", flush=True)
             continue
         if sorted(cols) != sorted(ocols):
             results[name] = f"SCHEMA-MISMATCH spark={sorted(cols)} duck={sorted(ocols)}"
-        elif len(rows) != len(orows):
-            results[name] = f"COUNT-MISMATCH spark={len(rows)} duck={len(orows)}"
+        elif len(spdf) != len(odf):
+            results[name] = f"COUNT-MISMATCH spark={len(spdf)} duck={len(odf)}"
         else:
-            a, b = canon(rows, cols), canon(orows, ocols)
+            a, b = canon(spdf), canon(odf)
             if a == b:
-                results[name] = f"OK ({len(rows)} rows, {el:.1f}s)"
+                results[name] = f"OK ({len(spdf)} rows, {el:.1f}s)"
             else:
                 diff_a = [x for x in a if x not in set(b)][:3]
                 diff_b = [x for x in b if x not in set(a)][:3]
