@@ -65,7 +65,7 @@ def brute_force_topk(
     )
 
 
-def sign_bucket(vec, n_bits: int = 4, table: int = 0, n_tables: int = 4):
+def sign_bucket(vec, n_bits: int = 4, table: int = 0, n_tables: int = 8):
     """Deterministic LSH bucket for one hash table: bit j = sign of the
     sum of the dimension group ``i ≡ table*n_bits + j (mod
     n_bits*n_tables)`` — disjoint axis-aligned projections per table
@@ -97,7 +97,7 @@ def sign_bucket(vec, n_bits: int = 4, table: int = 0, n_tables: int = 4):
 
 def lsh_bucketed_topk(
     emb: DataFrame, queries: DataFrame, k: int = 5, n_bits: int = 4,
-    n_tables: int = 4,
+    n_tables: int = 8,
     vec_col: str = "embedding", id_col: str = "vec_id",
     multiprobe: bool = True,
 ) -> DataFrame:
