@@ -56,8 +56,8 @@ _PIPE_CACHE: dict = {}
 
 
 def _evict_pipeline(pipe) -> None:
-    for df in (getattr(pipe, "_triples", None), pipe.mentions, pipe.convs,
-               pipe.cits, pipe.fold, pipe.mats):
+    for df in (getattr(pipe, "_triples", None), pipe.mentions, pipe.docs,
+               pipe.tt, pipe.convs, pipe.cits, pipe.fold, pipe.mats):
         try:
             if df is not None:
                 df.unpersist()

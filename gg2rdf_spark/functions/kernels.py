@@ -318,10 +318,14 @@ def get_kingdom(attrs: Mapping[str, str]) -> str:
     return attrs.get("kingdom") or "INVALID"
 
 
-# var/subsp/f junk-token test (gg2rdf.ts:542, 902, 930)
-_RE_JUNK_TOKEN = re.compile(r"^\W*(var|subsp|f)\W*$", re.IGNORECASE)
+# var/subsp/f junk-token test (gg2rdf.ts:542, 902, 930).  re.ASCII:
+# JS \W is [^A-Za-z0-9_], so e.g. 'varé' IS junk in the reference
+# (é matches \W) — Python's Unicode \W would treat é as a word char.
+_RE_JUNK_TOKEN = re.compile(r"^\W*(var|subsp|f)\W*$",
+                            re.IGNORECASE | re.ASCII)
 # same with explicit '.' alternative (gg2rdf.ts:1336)
-_RE_JUNK_TOKEN_DOT = re.compile(r"^\W*(var|subsp|f|\.)\W*$", re.IGNORECASE)
+_RE_JUNK_TOKEN_DOT = re.compile(r"^\W*(var|subsp|f|\.)\W*$",
+                                re.IGNORECASE | re.ASCII)
 
 
 def is_junk_token(s: Optional[str]) -> bool:
@@ -532,17 +536,20 @@ def simplify_doc_author(doc_author: Optional[str]) -> str:
     return s
 
 
-def _clean_authority_name(a: str, warnings: list[str], label: str) -> str:
+def _clean_authority_name(a: str, warnings: list[str], label: str,
+                          strip_parens: bool = True) -> str:
     """Shared cleanup for (base)authorityName (gg2rdf.ts:617-636 etc.).
 
     Returns the cleaned name; appends removal warnings.
-    """
+    ``strip_parens=False`` reproduces the ``authority`` *attribute*
+    branch (gg2rdf.ts:694-716), which performs only the in-clause /
+    'L.' / ALL-CAPS cleanup — no parenthetical removal."""
     a = _RE_IN_CLAUSE.sub("", a, count=1)
     if a == "L.":
         a = "Linnaeus"
     if len(a) >= 2 and not _RE_HAS_LOWER.search(a):
         a = _titlecase_allcaps(a)
-    if "(" in a or ")" in a:
+    if strip_parens and ("(" in a or ")" in a):
         m = _RE_PAREN_BOTH.search(a) or _RE_PAREN_OPEN.search(a) \
             or _RE_PAREN_CLOSE.search(a)
         inside = m.group(0) if m else ""
@@ -604,7 +611,9 @@ def get_full_authority(
     elif attrs.get("authority"):
         authority2 = attrs.get("authority") or ""
         if authority2:
-            authority2 = _clean_authority_name(authority2, warnings, "authority")
+            authority2 = _clean_authority_name(
+                authority2, warnings, "authority", strip_parens=False
+            )
             if "authorityYear" in attrs:
                 authority2 += ", " + attrs["authorityYear"]
             elif allow_defining and not _RE_HAS_DIGIT.search(authority2):

@@ -50,9 +50,16 @@ class Mention:
     getAttribute null semantics the reference leans on.
 
     ``section`` is structural context (≙ ``subSubSection[type=...]``
-    ancestry, gg2rdf.ts:136-138), NOT an element attribute: the parser
-    pops it out of the attr bag so it cannot collide with the genuine
-    botanical rank attribute named ``section`` (gg2rdf.ts:871).
+    ancestry, gg2rdf.ts:136-138), NOT an element attribute — but
+    ``section`` is ALSO a genuine botanical rank attribute
+    (gg2rdf.ts:871, between subGenus and subSection).  The parser
+    disambiguates by VALUE: a ``section=`` whose value is a known
+    subSubSection type (nomenclature, reference_group, …) is popped as
+    structural context; any other value (a Latin sectional epithet,
+    e.g. ``section=Momentanea``) stays in the attr bag so taxa at rank
+    section/subSection remain representable.  The two value spaces are
+    disjoint by construction (structural types are lowercase tokens
+    from the GG vocabulary; epithets are capitalized Latin).
     """
 
     kind: str
@@ -64,6 +71,18 @@ class Mention:
     section: Optional[str] = None
 
 
+# subSubSection@type vocabulary (GoldenGate; the reference's selectors
+# use nomenclature + reference_group, gg2rdf.ts:136-138, :327-339).
+# Lowercase structural tokens — disjoint from capitalized sectional
+# epithets, so `section=` disambiguates by membership here.
+STRUCTURAL_SECTIONS = frozenset({
+    "nomenclature", "reference_group", "description", "diagnosis",
+    "discussion", "distribution", "etymology", "materials_examined",
+    "biology_ecology", "key", "synonymic_list", "vernacular_names",
+    "type_specimens", "remarks", "multiple",
+})
+
+
 def parse_turn(text: str, turn_idx: int = -1) -> list[Mention]:
     """Extract all mention spans from one turn's text, in order."""
     out: list[Mention] = []
@@ -72,7 +91,13 @@ def parse_turn(text: str, turn_idx: int = -1) -> list[Mention]:
             am.group(1): am.group(2) if am.group(2) is not None else am.group(3)
             for am in _ATTR_RE.finditer(m.group("attrs") or "")
         }
-        section = attrs.pop("section", None)
+        # structural context: explicit `_section=` wins (needed when a
+        # taxon ALSO carries the botanical rank attr `section=`);
+        # otherwise `section=` is structural iff its value is a known
+        # subSubSection type
+        section = attrs.pop("_section", None)
+        if section is None and attrs.get("section") in STRUCTURAL_SECTIONS:
+            section = attrs.pop("section")
         out.append(
             Mention(
                 kind=m.group("kind"),

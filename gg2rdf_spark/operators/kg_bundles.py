@@ -303,6 +303,13 @@ def citation_bundle(
     out: dict = {
         "branch": None, "warn_obj": None, "uri": None, "tnuri": None,
         "year": "", "concept": None, "name_if_emitted": None,
+        # statuses of the emission-conditional makeTaxonName call in the
+        # invalid-authority branch (gg2rdf.ts:1095-1100): junk-token
+        # 'ignoring'/abbreviated warnings there involve no punctuation
+        # change, so the unconditional URI mint does NOT subsume them —
+        # the fold gates these on name_emitted (status_frame applies
+        # them only for units that actually emitted)
+        "nie_statuses": [],
         "statuses": statuses, "error": None,
     }
     try:
@@ -353,7 +360,9 @@ def citation_bundle(
             out["branch"] = "invalid_auth"
             out["uri"] = uri
             out["tnuri"] = uri
-            out["name_if_emitted"] = name_levels(attrs, recurse=False)
+            nie = name_levels(attrs, recurse=False)
+            out["name_if_emitted"] = nie
+            out["nie_statuses"] = list(nie["statuses"])
             return out
 
         if taxon_relation == K.REL_CITES:

@@ -105,20 +105,8 @@ def turtle_frame(triples: DataFrame) -> DataFrame:
         conv_id = pdf.iloc[0]["conv_id"] if len(pdf) else None
         return pd.DataFrame({"conv_id": [conv_id], "ttl": ["\n".join(parts) + "\n"]})
 
-    from typing import Iterator
+    # streamed grouped pass (grouped.py): complete conversations flush
+    # per Arrow chunk; memory bounded by one chunk + one conversation
+    from .grouped import stream_groups
 
-    par = triples.sparkSession.sparkContext.defaultParallelism
-
-    def build_partition(
-        batches: Iterator[pd.DataFrame],
-    ) -> Iterator[pd.DataFrame]:
-        chunks = list(batches)
-        if not chunks:
-            return
-        pdf = pd.concat(chunks, ignore_index=True)
-        for _, grp in pdf.groupby("conv_id", sort=False):
-            yield build(grp)
-
-    return triples.repartition(par, "conv_id").mapInPandas(
-        build_partition, TTL_SCHEMA
-    )
+    return stream_groups(triples, "conv_id", build, TTL_SCHEMA)

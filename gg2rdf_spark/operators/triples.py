@@ -321,8 +321,13 @@ def triples_frame(
     ).select("conv_id", "block", "subj_ord", "subj", "pred", "obj", "obj_ord")
 
 
-def status_frame(convs: DataFrame, cits: DataFrame, mats: DataFrame) -> DataFrame:
-    """Per-conversation Status (max aggregate, gg2rdf.ts:45-50)."""
+def status_frame(convs: DataFrame, cits: DataFrame, mats: DataFrame,
+                 fold: DataFrame = None) -> DataFrame:
+    """Per-conversation Status (max aggregate, gg2rdf.ts:45-50).
+
+    ``fold`` gates the invalid-authority branch's emission-conditional
+    makeTaxonName statuses (gg2rdf.ts:1095-1100): they count only for
+    units whose trt:citesTaxonName actually emitted (name_emitted)."""
     s_conv = convs.select(
         "conv_id", F.explode("statuses").alias("sev")
     )
@@ -339,8 +344,18 @@ def status_frame(convs: DataFrame, cits: DataFrame, mats: DataFrame) -> DataFram
         "conv_id", F.lit(1).alias("sev")
     )
     base = convs.select("conv_id", F.lit(0).alias("sev"))
-    return (
+    out = (
         base.unionByName(s_conv).unionByName(s_fail)
         .unionByName(s_cit).unionByName(s_mat)
-        .groupBy("conv_id").agg(F.max("sev").alias("status"))
     )
+    if fold is not None:
+        s_nie = (
+            cits.join(
+                fold.filter("name_emitted").select("conv_id", "unit_ord"),
+                ["conv_id", "unit_ord"], "left_semi",
+            )
+            .join(ok_ids, "conv_id", "left_semi")
+            .select("conv_id", F.explode("nie_statuses").alias("sev"))
+        )
+        out = out.unionByName(s_nie)
+    return out.groupBy("conv_id").agg(F.max("sev").alias("status"))

@@ -38,10 +38,16 @@ class KGPipeline:
             self.mentions = self.mentions.persist()
         self.docs = E.docs_frame(transcripts, self.mentions)
         self.tt = E.treatment_taxon(self.mentions)
+        if cache:
+            # docs/tt feed BOTH the conv-bundle pass and citation_frame
+            # (which joins the attr bags directly so the bundle pass
+            # stays narrow) — persist to avoid recomputing the aggs
+            self.docs = self.docs.persist()
+            self.tt = self.tt.persist()
         self.convs = A.conv_frame(self.docs, self.tt)
         if cache:
             self.convs = self.convs.persist()
-        self.cits = A.citation_frame(self.mentions, self.convs)
+        self.cits = A.citation_frame(self.mentions, self.docs, self.tt)
         if cache:
             self.cits = self.cits.persist()
         self.fold = A.citation_fold(self.cits, self.convs)
@@ -68,7 +74,7 @@ class KGPipeline:
         return S.turtle_frame(self.triples())
 
     def status(self) -> DataFrame:
-        return T.status_frame(self.convs, self.cits, self.mats)
+        return T.status_frame(self.convs, self.cits, self.mats, self.fold)
 
 
 def kg_triples(transcripts: DataFrame, cache: bool = True) -> DataFrame:

@@ -45,10 +45,17 @@ def stream_transcripts(
 ):
     """readStream(files) → per-micro-batch KG pipeline → triple sink.
 
-    Returns the StreamingQuery (caller awaits/stops).  Exactly-once at
-    bucket granularity: the file-source checkpoint prevents reprocessing
-    of seen files, and bucket overwrite keeps redelivery idempotent.
+    Returns the StreamingQuery (caller awaits/stops).  foreachBatch is
+    **at-least-once** (a failure between the sink write and the
+    checkpoint commit re-delivers the batch on restart), so each batch
+    write must be idempotent: the batch id is a partition column and
+    the write is a dynamic partition overwrite of that batch's
+    partitions only — a replay rewrites the same directories instead
+    of appending duplicates.  The manifest run_id is additionally
+    consulted to skip already-committed replays cheaply.
     """
+    from ..sources.materialize import seen_run_ids
+
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
         .option("maxFilesPerTrigger", 8)
@@ -58,13 +65,13 @@ def stream_transcripts(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        run_id = f"batch-{batch_id}"
+        if run_id in seen_run_ids(batch_df.sparkSession, sink_path):
+            return  # replayed batch already fully committed
         pipe = KGPipeline(batch_df, cache=False)
-        # append, not bucket-overwrite: the file-source checkpoint is
-        # already exactly-once, and overwrite would clobber earlier
-        # batches' rows in shared buckets
         materialize(
             pipe.triples(), sink_path, n_buckets,
-            resume=False, run_id=f"batch-{batch_id}", overwrite=False,
+            resume=False, batch_run=run_id,
         )
 
     return (

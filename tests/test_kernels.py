@@ -407,3 +407,33 @@ class TestRankGroup:  # gg2rdf.ts:1212-1232
 
     def test_falsy_attr_skipped(self):
         assert K.taxon_rank_group({"species": "", "genus": "G"}) == K.RANKS_GENUS
+
+
+class TestAuthorityAttrBranch:  # gg2rdf.ts:694-716 (round-2 ADVICE)
+    def test_no_paren_removal_in_authority_attr(self):
+        """The `authority` ATTRIBUTE fallback branch performs only the
+        in-clause / 'L.' / ALL-CAPS cleanup — no parenthetical removal
+        (unlike the authorityName branches)."""
+        auth, warnings, fb = K.get_full_authority(
+            {"authority": "Smith (Jones)", "authorityYear": "1999"}, {}, True
+        )
+        assert auth == "Smith (Jones), 1999"
+        assert not any(w.startswith('Removing "') for w in warnings)
+        assert fb is False
+
+    def test_authority_name_branch_does_strip(self):
+        auth, warnings, _ = K.get_full_authority(
+            {"authorityName": "Smith (Jones)", "authorityYear": "1999"},
+            {}, True,
+        )
+        assert auth == "Smith, 1999"
+        assert any(w.startswith('Removing "') for w in warnings)
+
+
+class TestJunkTokenAscii:  # JS \W is ASCII-only (round-2 ADVICE)
+    def test_non_ascii_wrapper_is_junk(self):
+        # é matches JS \W — 'varé' is a junk token in the reference
+        assert K.is_junk_token("varé")
+        assert K.is_junk_token("var")
+        assert K.is_junk_token(" subsp. ")
+        assert not K.is_junk_token("variety")

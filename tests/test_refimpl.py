@@ -321,3 +321,33 @@ class TestRecipeCorpus:
             assert ttl.startswith("@prefix")
         # the scenario mix must exercise every status level
         assert set(statuses) >= {0, 1, 2, 3}
+
+
+class TestSectionRankAttr:
+    """`section` is both structural context AND a botanical rank
+    (gg2rdf.ts:871): the parser pops it only for known subSubSection
+    types, so sectional epithets stay representable (round-2 ADVICE)."""
+
+    def test_structural_section_popped(self):
+        m = parse_turn(
+            "[[taxonomicName section=nomenclature rank=species "
+            "kingdom=Plantae genus=Quercus species=robur]]Q. robur[[/]]"
+        )[0]
+        assert m.section == "nomenclature"
+        assert "section" not in m.attrs
+
+    def test_rank_section_epithet_kept(self):
+        from gg2rdf_spark.functions import kernels as K
+
+        m = parse_turn(
+            "[[taxonomicName _section=nomenclature rank=section "
+            "kingdom=Plantae genus=Quercus section=Mesobalanus]]"
+            "sect. Mesobalanus[[/]]"
+        )[0]
+        assert m.section == "nomenclature"
+        assert m.attrs.get("section") == "Mesobalanus"
+        # the rank machinery can now mint the sectional name URI
+        uri = K.taxon_name_uri(m.attrs)
+        assert uri == (
+            "<http://taxon-name.plazi.org/id/Plantae/Quercus_Mesobalanus>"
+        )
