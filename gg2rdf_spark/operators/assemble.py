@@ -217,18 +217,80 @@ def citation_frame(mentions: DataFrame, docs: DataFrame,
     directly (NOT through the conv-bundle pass, which would force that
     pass to round-trip two map columns through Arrow just to feed this
     one)."""
+    from ..refimpl import _TAXON_KEYS
     from .grouped import scaled_partitions
 
-    cits = (
+    # NULL-safe: most mentions carry no `_inside`, and `NULL == x`
+    # is NULL (not false) — which would silently drop every flat unit
+    inside = F.coalesce(F.col("attrs")["_inside"], F.lit(""))
+    is_nested_taxon = (F.col("kind") == "taxonomicName") & inside.isin(
+        "treatmentCitation", "treatmentCitationGroup"
+    )
+    rows = (
         mentions.filter(
             (F.col("section") == "reference_group")
             & F.col("kind").isin(
                 "treatmentCitationGroup", "treatmentCitation", "taxonomicName"
             )
         )
+        # nested-unit skipping (gg2rdf.ts:330-336 closest() tests):
+        # a treatmentCitation inside a group is not its own unit
+        .filter(
+            ~((F.col("kind") == "treatmentCitation")
+              & (inside == "treatmentCitationGroup"))
+        )
         # g_ord (global mention order) is monotone in document order —
-        # exactly the property the fold and ord keys need; no new window
-        .select("conv_id", F.col("g_ord").alias("unit_ord"), "attrs")
+        # exactly the property the fold and ord keys need
+        .select("conv_id", "g_ord", "kind", "attrs",
+                (~is_nested_taxon).alias("is_unit"))
+    )
+    # a nested taxonomicName is the cited taxon of its most recent
+    # surviving container (document order == closest surviving
+    # ancestor); querySelector takes the FIRST one (gg2rdf.ts:339-341)
+    w = (
+        Window.partitionBy("conv_id").orderBy("g_ord")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rows = rows.withColumn(
+        "container_ord",
+        F.last(F.when(F.col("is_unit"), F.col("g_ord")), ignorenulls=True)
+        .over(w),
+    )
+    nested_first = (
+        rows.filter(~F.col("is_unit") & F.col("container_ord").isNotNull())
+        .groupBy("conv_id", "container_ord")
+        .agg(F.min_by("attrs", "g_ord").alias("nested_attrs"))
+        # rename to break self-join lineage ambiguity
+        .select(F.col("conv_id").alias("n_conv_id"),
+                F.col("container_ord").alias("n_ord"), "nested_attrs")
+    )
+    has_taxon_keys = F.arrays_overlap(
+        F.map_keys(F.col("attrs")),
+        F.array(*[F.lit(k) for k in sorted(_TAXON_KEYS)]),
+    )
+    cits = (
+        rows.filter("is_unit")
+        .join(
+            nested_first,
+            (F.col("conv_id") == F.col("n_conv_id"))
+            & (F.col("g_ord") == F.col("n_ord")),
+            "left",
+        )
+        .drop("n_conv_id", "n_ord")
+        .withColumn(
+            "resolved_attrs",
+            F.coalesce(
+                F.col("nested_attrs"),
+                F.when(
+                    (F.col("kind") == "taxonomicName") | has_taxon_keys,
+                    F.col("attrs"),
+                ),
+            ),
+        )
+        # container without any taxon: logged + skipped (:354-356)
+        .filter(F.col("resolved_attrs").isNotNull())
+        .select("conv_id", F.col("g_ord").alias("unit_ord"),
+                F.col("resolved_attrs").alias("attrs"))
     )
     joined = cits.join(
         docs.select("conv_id", "doc_attrs"), "conv_id", "left"

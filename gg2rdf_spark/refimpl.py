@@ -682,11 +682,7 @@ def transform(doc: ConversationDoc) -> TransformResult:
         t.add("trt:publishedIn", get_publication())
 
         # cited taxon concepts (gg2rdf.ts:327-357)
-        for e in doc.mentions:
-            if e.section != "reference_group" or e.kind not in (
-                "treatmentCitationGroup", "treatmentCitation", "taxonomicName",
-            ):
-                continue
+        for e in resolve_citation_units(doc.mentions, log):
             try:
                 add_taxon_concept_citation(t, e)
             except K.TaxonNameURIError as err:
@@ -820,6 +816,58 @@ def transform(doc: ConversationDoc) -> TransformResult:
 
     res.status = state["status"]
     return res
+
+
+_CITATION_KINDS = (
+    "treatmentCitationGroup", "treatmentCitation", "taxonomicName",
+)
+# attrs that make a flat unit its own cited taxon (the generator's
+# flat convention carries taxon attrs directly on the unit)
+_TAXON_KEYS = frozenset(K.RANK_NAMES) | {
+    "rank", "authorityName", "baseAuthorityName", "authority",
+}
+
+
+def resolve_citation_units(mentions, log) -> list:
+    """Citation-unit selection with nested-unit skipping
+    (gg2rdf.ts:327-341): a ``treatmentCitation`` inside a
+    ``treatmentCitationGroup``, or a ``taxonomicName`` inside either,
+    is NOT its own unit (``closest()`` ancestor tests — carried in our
+    flat span model as the ``_inside`` ancestry attribute emitted by
+    the XML adapter / nested fixtures).  A surviving container unit's
+    cited taxon is its first descendant ``taxonomicName``
+    (``querySelector``, :339-341) — falling back to the unit's own
+    attrs under the flat convention; a container with neither is
+    logged and skipped (:354-356)."""
+    units: list = []  # (container_mention, resolved_taxon_or_None)
+    for e in mentions:
+        if e.section != "reference_group" or e.kind not in _CITATION_KINDS:
+            continue
+        inside = e.attrs.get("_inside")
+        if e.kind == "treatmentCitation" and inside == "treatmentCitationGroup":
+            continue
+        if e.kind == "taxonomicName" and inside in (
+            "treatmentCitation", "treatmentCitationGroup",
+        ):
+            # nested: becomes the cited taxon of the most recent
+            # surviving container (document order => that IS its
+            # closest surviving ancestor)
+            if units and units[-1][0].kind != "taxonomicName" \
+                    and units[-1][1] is None:
+                units[-1] = (units[-1][0], e)
+            continue
+        units.append((e, e if e.kind == "taxonomicName" else None))
+    out = []
+    for container, taxon in units:
+        if taxon is None and any(
+            k in _TAXON_KEYS for k in container.attrs
+        ):
+            taxon = container  # flat convention
+        if taxon is None:
+            log.append(f"{container.kind} found without taxonomicName")
+            continue
+        out.append(taxon)
+    return out
 
 
 def _sibling_label_text(

@@ -155,3 +155,61 @@ def test_invalid_auth_citation_name_statuses(spark):
     assert st == {"cX": ref.status}
     ours = {(r.subj, r.pred, r.obj) for r in pipe.flat_triples().collect()}
     assert ours == set(ref.triples())
+
+
+def test_nested_citation_units(spark):
+    """gg2rdf.ts:330-341: a reference_group taxonomicName nested inside
+    a handled treatmentCitation(Group) is NOT its own citation unit —
+    flat-unit logic would double-emit.  Differential refimpl≡pipeline
+    on a nested corpus, plus an explicit no-double-emit assertion."""
+    doc0 = (
+        '[[document docId=TTN1 docAuthor="Doe, A" docDate=2001'
+        ' docTitle="T" masterDocId=M2]] [[mods title="T" authors="Doe, A"'
+        ' date=2001 classification=book]] hi'
+    )
+    taxon = (
+        'Nomenclature. [[taxonomicName section=nomenclature rank=species'
+        ' kingdom=Animalia genus=Apis species=mellifera authorityName=Doe'
+        ' authorityYear=2001 status="sp. nov."]]Apis mellifera[[/]] here.'
+    )
+    # group containing TWO nested taxa (first wins), then a nested
+    # treatmentCitation (skipped as a unit, its taxon feeds the group);
+    # then a flat treatmentCitation; then a bare nested-marked taxon
+    refs = (
+        "References."
+        " [[treatmentCitationGroup section=reference_group]]"
+        " [[taxonomicName section=reference_group"
+        "   _inside=treatmentCitationGroup rank=species kingdom=Animalia"
+        "   genus=Vespa species=crabro authorityName=Roe"
+        "   authorityYear=1900]]Vespa crabro[[/]]"
+        " [[treatmentCitation section=reference_group"
+        "   _inside=treatmentCitationGroup]]"
+        " [[taxonomicName section=reference_group"
+        "   _inside=treatmentCitation rank=species kingdom=Animalia"
+        "   genus=Vespa species=velutina authorityName=Poe"
+        "   authorityYear=1905]]Vespa velutina[[/]]"
+        " [[treatmentCitation section=reference_group rank=species"
+        "   kingdom=Animalia genus=Bombus species=terrestris"
+        "   authorityName=Moe authorityYear=1910]]"
+    )
+    turns = [(0, doc0), (1, taxon), (4, refs)]
+    ref = refimpl.transform_turns("cN", turns)
+    ref_triples = set(ref.triples())
+    cited = {o for s, p, o in ref_triples
+             if p in ("cito:cites", "trt:deprecates", "trt:citesTaxonName")}
+    # exactly TWO citation units survive: the group (→ Vespa crabro,
+    # its FIRST nested taxon) and the flat Bombus citation; the
+    # nested velutina taxon and nested treatmentCitation are skipped
+    assert any("Vespa_crabro" in o for o in cited)
+    assert any("Bombus_terrestris" in o for o in cited)
+    assert not any("velutina" in o for o in cited)
+
+    tr = spark.createDataFrame(
+        [("cN", t, "assistant", txt, None) for t, txt in turns],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    pipe = KGPipeline(tr, cache=False)
+    ours = {(r.subj, r.pred, r.obj) for r in pipe.flat_triples().collect()}
+    assert ours == ref_triples
+    ttl = {r.conv_id: r.ttl for r in pipe.turtle().collect()}
+    assert ttl["cN"] == ref.turtle()
