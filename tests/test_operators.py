@@ -287,3 +287,57 @@ class TestDelete:
         materialize(t.limit(3), path, n_buckets=4, resume=False,
                     batch_run="batch-1")
         assert read_triples(spark, path).count() == n1 + 3
+
+
+class TestEventTimeWindows:
+    @pytest.mark.slow
+    def test_watermark_drops_late_finalizes_windows(self, spark, tmp_path):
+        """Watermarked tumbling windows: in-delay late rows update
+        their window; beyond-delay late rows are dropped; finalized
+        windows equal the batch computation over the accepted rows."""
+        from datetime import datetime
+
+        from gg2rdf_spark.streaming.windows import (
+            stream_windowed_counts, windowed_counts,
+        )
+
+        schema = "event_type string, ts timestamp"
+        in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        def write(rows, mode):
+            spark.createDataFrame(rows, schema).coalesce(1) \
+                .write.mode(mode).parquet(in_dir)
+
+        h = lambda x: datetime(2024, 1, 1, x, 30)  # noqa: E731
+        # batch 1: hours 0..4
+        write([("a", h(0)), ("a", h(1)), ("b", h(1)), ("a", h(4))],
+              "overwrite")
+        q = stream_windowed_counts(spark, in_dir, out_dir, ckpt, schema)
+        q.awaitTermination(300)
+        # batch 2: max event time 10:30 -> watermark 8:30.
+        # late row at 9:30 (within delay): accepted into its window.
+        # late row at 1:30 (beyond delay): dropped.
+        write([("a", h(10)), ("b", h(9)), ("b", h(1))], "append")
+        q2 = stream_windowed_counts(spark, in_dir, out_dir, ckpt, schema)
+        q2.awaitTermination(300)
+        # batch 3: advance watermark far so every window finalizes
+        write([("a", h(23))], "append")
+        q3 = stream_windowed_counts(spark, in_dir, out_dir, ckpt, schema)
+        q3.awaitTermination(300)
+
+        got = {
+            (r.window_start.hour, r.event_type): r.n
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        accepted = [("a", h(0)), ("a", h(1)), ("b", h(1)), ("a", h(4)),
+                    ("a", h(10)), ("b", h(9))]
+        expect = {
+            (r.window_start.hour, r.event_type): r.n
+            for r in windowed_counts(
+                spark.createDataFrame(accepted, schema)
+            ).collect()
+        }
+        # the dropped 1:30 'b' row must NOT appear anywhere
+        assert got == expect
+        assert got[(1, "b")] == 1  # not 2 — the beyond-delay row dropped
