@@ -246,18 +246,27 @@ def citation_frame(mentions: DataFrame, docs: DataFrame,
     )
     # a nested taxonomicName is the cited taxon of its most recent
     # surviving container (document order == closest surviving
-    # ancestor); querySelector takes the FIRST one (gg2rdf.ts:339-341)
+    # ancestor); querySelector takes the FIRST one (gg2rdf.ts:339-341).
+    # Everything below the semi-join involves ONLY conversations that
+    # contain at least one nested mention: on a fully flat corpus (the
+    # common case, and every pre-round-2 corpus) nested_convs is
+    # empty, the window/groupBy run over zero rows, and AQE broadcasts
+    # the empty build side — the unit stream itself never shuffles.
+    nested_convs = (
+        rows.filter(~F.col("is_unit")).select("conv_id").distinct()
+    )
+    scoped = rows.join(F.broadcast(nested_convs), "conv_id", "semi")
     w = (
         Window.partitionBy("conv_id").orderBy("g_ord")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    rows = rows.withColumn(
+    scoped = scoped.withColumn(
         "container_ord",
         F.last(F.when(F.col("is_unit"), F.col("g_ord")), ignorenulls=True)
         .over(w),
     )
     nested_first = (
-        rows.filter(~F.col("is_unit") & F.col("container_ord").isNotNull())
+        scoped.filter(~F.col("is_unit") & F.col("container_ord").isNotNull())
         .groupBy("conv_id", "container_ord")
         .agg(F.min_by("attrs", "g_ord").alias("nested_attrs"))
         # rename to break self-join lineage ambiguity
@@ -280,7 +289,12 @@ def citation_frame(mentions: DataFrame, docs: DataFrame,
         .withColumn(
             "resolved_attrs",
             F.coalesce(
-                F.col("nested_attrs"),
+                # a taxonomicName unit is its own cited taxon — a
+                # nested taxon never overrides it (refimpl
+                # resolve_citation_units: units[-1][0].kind guard;
+                # the nested mention is dropped, not reassigned)
+                F.when(F.col("kind") != "taxonomicName",
+                       F.col("nested_attrs")),
                 F.when(
                     (F.col("kind") == "taxonomicName") | has_taxon_keys,
                     F.col("attrs"),

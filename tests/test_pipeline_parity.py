@@ -213,3 +213,54 @@ def test_nested_citation_units(spark):
     assert ours == ref_triples
     ttl = {r.conv_id: r.ttl for r in pipe.turtle().collect()}
     assert ttl["cN"] == ref.turtle()
+
+
+def test_nested_taxon_after_flat_taxon_unit(spark):
+    """Round-2 ADVICE: when the most recent citation unit is itself a
+    flat taxonomicName, a following nested-marked taxon must NOT
+    override its attrs — refimpl's units[-1][0].kind guard keeps the
+    unit's own attrs and drops the nested mention.  Unreachable from
+    tree-derived XML (a container element always precedes its
+    descendants) but reachable in flat-span fixtures; differential
+    refimpl≡pipeline on exactly that shape."""
+    doc0 = (
+        '[[document docId=TTN2 docAuthor="Doe, A" docDate=2002'
+        ' docTitle="T" masterDocId=M3]] [[mods title="T" authors="Doe, A"'
+        ' date=2002 classification=book]] hi'
+    )
+    taxon = (
+        'Nomenclature. [[taxonomicName section=nomenclature rank=species'
+        ' kingdom=Animalia genus=Apis species=cerana authorityName=Doe'
+        ' authorityYear=2002 status="sp. nov."]]Apis cerana[[/]] here.'
+    )
+    refs = (
+        "References."
+        # flat taxonomicName citation unit...
+        " [[taxonomicName section=reference_group rank=species"
+        "   kingdom=Animalia genus=Vespa species=orientalis"
+        "   authorityName=Roe authorityYear=1901]]Vespa orientalis[[/]]"
+        # ...followed by a nested-marked taxon whose container was
+        # dropped from the span stream: must be discarded, not
+        # attached to the preceding taxonomicName unit
+        " [[taxonomicName section=reference_group"
+        "   _inside=treatmentCitation rank=species kingdom=Animalia"
+        "   genus=Vespa species=mandarinia authorityName=Poe"
+        "   authorityYear=1902]]Vespa mandarinia[[/]]"
+    )
+    turns = [(0, doc0), (1, taxon), (4, refs)]
+    ref = refimpl.transform_turns("cG", turns)
+    ref_triples = set(ref.triples())
+    cited = {o for s, p, o in ref_triples
+             if p in ("cito:cites", "trt:deprecates", "trt:citesTaxonName")}
+    assert any("Vespa_orientalis" in o for o in cited)
+    assert not any("mandarinia" in o for o in cited)
+
+    tr = spark.createDataFrame(
+        [("cG", t, "assistant", txt, None) for t, txt in turns],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    pipe = KGPipeline(tr, cache=False)
+    ours = {(r.subj, r.pred, r.obj) for r in pipe.flat_triples().collect()}
+    assert ours == ref_triples
+    ttl = {r.conv_id: r.ttl for r in pipe.turtle().collect()}
+    assert ttl["cG"] == ref.turtle()

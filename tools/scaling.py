@@ -121,7 +121,7 @@ def main() -> None:
     print(json.dumps(result))
 
     md = f"""
-## Scaling: local[8] -> local[32] (N -> 4N proxy, same input)
+## Scaling: local[8] -> local[32] (single-JVM proxy, FINAL)
 
 | level | best wall (s) | triples/sec |
 |---|---|---|
@@ -134,8 +134,11 @@ Speedup {round(speedup, 2)}x over 4x cores -> **scaling efficiency
 best of 3 fresh-JVM runs per level (small-corpus JIT warm-up inside
 each JVM, 30 s cool-downs, taskset pinning).
 """
-    with open("/root/repo/BENCH.md", "a") as f:
-        f.write(md)
+    from benchmd import replace_section
+
+    replace_section(
+        "Scaling: local[8] -> local[32] (single-JVM proxy, FINAL)", md
+    )
 
 
 if __name__ == "__main__":

@@ -121,7 +121,7 @@ def main() -> None:
     print(json.dumps(result))
 
     md = f"""
-## Scaling: 2 → 8 executors (local-cluster, N → 4N with real executor JVMs)
+## Scaling: 2 -> 8 executors (local-cluster, real executor JVMs, FINAL)
 
 | level | best wall (s) | triples/sec |
 |---|---|---|
@@ -135,8 +135,12 @@ single-JVM local[N] proxy cannot represent (one shared heap/GC for all
 threads).  Corpus: {triples} triples from {n_convs} conversations;
 best of 3 fresh clusters per level, JIT warm-up per cluster.
 """
-    with open("/root/repo/BENCH.md", "a") as f:
-        f.write(md)
+    from benchmd import replace_section
+
+    replace_section(
+        "Scaling: 2 -> 8 executors (local-cluster, real executor JVMs, FINAL)",
+        md,
+    )
 
 
 if __name__ == "__main__":
