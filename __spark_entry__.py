@@ -677,14 +677,22 @@ def _ann_lsh_oracle(k: int = 5, n_bits: int = 4, n_tables: int = 8) -> str:
     planes are deterministic dimension-group sums (plane j of table t =
     sign of Σ v[i] over i ≡ t*n_bits+j mod n_bits*n_tables), so DuckDB
     reconstructs the same buckets, multiprobe set, and exact-cosine
-    ranking with no RNG involved."""
+    ranking with no RNG involved.
+
+    Determinism is by construction (round-2 ADVICE): both engines
+    quantize each dimension to int64 (round(x·10⁶)) before summing —
+    exact integer arithmetic, no accumulation-order sensitivity.
+    Scope: this replica proves CROSS-ENGINE DETERMINISM of the whole
+    LSH→probe→rank dataflow; retrieval QUALITY is gated separately by
+    tests/test_operators.py::TestANN (recall ≥0.9 vs brute force and
+    containment of every returned pair in brute-force top-3k)."""
     groups = n_bits * n_tables
-    # per-vector group sums, masked list_sum (same fold shape as the
-    # Spark F.aggregate, empirically bit-stable across both engines)
+    # per-vector group sums over quantized int64 dims (exact)
     gsum = (
         "list_sum(list_transform(list_zip(v, range(0, len(v))), "
         "x -> CASE WHEN cast(x[2] as int) % {groups} = {g} "
-        "THEN cast(x[1] as double) ELSE 0.0 END))"
+        "THEN cast(round(cast(x[1] as double) * 1000000) as bigint) "
+        "ELSE cast(0 as bigint) END))"
     )
     buckets = ", ".join(
         "("

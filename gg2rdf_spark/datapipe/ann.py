@@ -71,14 +71,24 @@ def sign_bucket(vec, n_bits: int = 4, table: int = 0, n_tables: int = 8):
     n_bits*n_tables)`` — disjoint axis-aligned projections per table
     (engine-portable, no RNG).  A single b-bit bucket has collision
     probability (1-θ/π)^b; multiple tables union their candidates to
-    recover recall (standard LSH amplification)."""
+    recover recall (standard LSH amplification).
+
+    Cross-engine determinism (round-2 ADVICE): each dimension is
+    quantized to int64 (``round(x·10⁶)``) BEFORE summing, so the sign
+    test runs on exact integer arithmetic — accumulation order cannot
+    flip a near-zero float sum's sign between Spark's left-fold and
+    DuckDB's list_sum (float32→double cast and one IEEE multiply are
+    bit-identical on both engines; the integer sum is exact)."""
     dim = F.size(vec)
     groups = n_bits * n_tables
 
     def _mask(g: int):
         # closure factory: pyspark rejects lambdas with default args
         def pick_dim(x, i):
-            return F.when(i % groups == g, x.cast("double")).otherwise(F.lit(0.0))
+            return F.when(
+                i % groups == g,
+                F.round(x.cast("double") * 1_000_000).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
         return pick_dim
 
     bits = []
@@ -86,7 +96,7 @@ def sign_bucket(vec, n_bits: int = 4, table: int = 0, n_tables: int = 8):
         s = F.aggregate(
             F.zip_with(vec, F.sequence(F.lit(0), dim - 1),
                        _mask(table * n_bits + j)),
-            F.lit(0.0), lambda acc, x: acc + x,
+            F.lit(0).cast("long"), lambda acc, x: acc + x,
         )
         bits.append(F.when(s > 0, F.lit(2 ** j)).otherwise(F.lit(0)))
     out = bits[0]

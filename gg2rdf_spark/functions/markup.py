@@ -82,6 +82,10 @@ STRUCTURAL_SECTIONS = frozenset({
     "type_specimens", "remarks", "multiple",
 })
 
+# any lowercase_underscore token is treated as structural too (the GG
+# type vocabulary is open-ended); epithet values are Capitalized
+_STRUCTURAL_TOKEN = re.compile(r"^[a-z][a-z0-9_]*$")
+
 
 def parse_turn(text: str, turn_idx: int = -1) -> list[Mention]:
     """Extract all mention spans from one turn's text, in order."""
@@ -93,11 +97,18 @@ def parse_turn(text: str, turn_idx: int = -1) -> list[Mention]:
         }
         # structural context: explicit `_section=` wins (needed when a
         # taxon ALSO carries the botanical rank attr `section=`);
-        # otherwise `section=` is structural iff its value is a known
-        # subSubSection type
+        # otherwise `section=` is structural iff its value looks like a
+        # subSubSection type: the known vocabulary OR any all-lowercase
+        # token (GoldenGate has open-ended types like 'conservation',
+        # 'taxon_discussion'; botanical rank epithets are Capitalized,
+        # so the classes stay disjoint — round-2 ADVICE)
         section = attrs.pop("_section", None)
-        if section is None and attrs.get("section") in STRUCTURAL_SECTIONS:
-            section = attrs.pop("section")
+        if section is None:
+            sv = attrs.get("section")
+            if sv is not None and (
+                sv in STRUCTURAL_SECTIONS or _STRUCTURAL_TOKEN.match(sv)
+            ):
+                section = attrs.pop("section")
         out.append(
             Mention(
                 kind=m.group("kind"),

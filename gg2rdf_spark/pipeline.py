@@ -29,9 +29,20 @@ from .operators import triples as T
 
 
 class KGPipeline:
-    """Builds and caches the stage frames for one transcripts input."""
+    """Builds and caches the stage frames for one transcripts input.
 
-    def __init__(self, transcripts: DataFrame, cache: bool = True):
+    ``eager`` materializes each persisted stage frame in dependency
+    order before the output action runs.  Rationale (round-3 event-log
+    profile): the triples plan contains ~24 broadcast/semi-join small
+    sides; Spark computes each in its own concurrent sub-job, and when
+    the caches are still lazy those jobs race to recompute the SAME
+    upstream lineage (parse → bundles) — ~10-13 s of duplicated work
+    per sub-job at the 200k-conversation corpus.  Counting the frames
+    in order materializes every cache exactly once, so broadcast
+    builds hit warm caches."""
+
+    def __init__(self, transcripts: DataFrame, cache: bool = True,
+                 eager: bool = False):
         self.transcripts = transcripts
         self.mentions = E.parse_mentions(transcripts)
         if cache:
@@ -60,6 +71,10 @@ class KGPipeline:
         if cache:
             self.mats = self.mats.persist()
         self.verns = A.vernacular_frame(self.mentions)
+        if cache and eager:
+            for df in (self.mentions, self.docs, self.tt, self.convs,
+                       self.cits, self.fold, self.mats):
+                df.count()
 
     def triples(self) -> DataFrame:
         return T.triples_frame(

@@ -32,14 +32,18 @@ def build_session(
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
-        # AQE: runtime coalescing + skew-join splitting (north_rule skew)
+        # AQE: skew-join splitting on (north_rule skew), partition
+        # COALESCING OFF.  Measured (round 3, 200k-conv corpus,
+        # local[32]): coalescing cost 62.5 s -> 52.5 s without it, with
+        # erratic 3-5x outlier runs (91/292 s) when it re-planned badly
+        # — it serializes small-byte but CPU-heavy Arrow stages (bundle
+        # rows are ~KB on the wire but cost ms of Python each) and adds
+        # driver re-planning at every stage boundary of this very wide
+        # DAG.  This pipeline sizes its shuffles explicitly
+        # (shuffle.partitions / spark.gg2rdf.groupPartitions), which is
+        # the cluster-correct practice at 100 TB anyway.
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # don't let AQE coalesce small-byte but CPU-heavy (Arrow/pandas)
-        # partitions below real parallelism: bundle rows are ~KB on the
-        # wire but cost ms of Python each (1MB default min-size was
-        # serializing the conv-level pass onto 2-3 cores)
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # constraint propagation is O(n²) in predicate/CASE tree size and
         # blows up planning on our wide synthetic-corpus expressions

@@ -351,3 +351,24 @@ class TestSectionRankAttr:
         assert uri == (
             "<http://taxon-name.plazi.org/id/Plantae/Quercus_Mesobalanus>"
         )
+
+    def test_unknown_lowercase_type_is_structural(self):
+        """Round-2 ADVICE: GoldenGate's subSubSection@type vocabulary
+        is open-ended ('conservation', 'taxon_discussion', ...) — a
+        bare lowercase token not in the known list must classify as
+        structural context, NOT leak into the rank-attr bag that feeds
+        taxon-name URIs."""
+        m = parse_turn(
+            "[[taxonomicName section=taxon_discussion rank=species "
+            "kingdom=Plantae genus=Quercus species=robur]]Q. robur[[/]]"
+        )[0]
+        assert m.section == "taxon_discussion"
+        assert "section" not in m.attrs
+
+    def test_capitalized_section_stays_rank_attr(self):
+        m = parse_turn(
+            "[[taxonomicName rank=section kingdom=Plantae genus=Quercus "
+            "section=Mesobalanus]]sect. Mesobalanus[[/]]"
+        )[0]
+        assert m.section is None
+        assert m.attrs.get("section") == "Mesobalanus"

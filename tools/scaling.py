@@ -38,8 +38,15 @@ from gg2rdf_spark.pipeline import KGPipeline
 from gg2rdf_spark.sources.synthsql import transcripts_sql
 
 cpus, tr_path = int(sys.argv[1]), sys.argv[2]
+# per-core heap must be CONSTANT across levels (the N->4N contract is
+# "4x executors bring 4x resources"): a fixed 8g heap starves the 4N
+# level of execution memory per task (4x more spill/GC) and deflates
+# measured efficiency.  1.5g/core + 4g base, same at both levels.
 spark = build_session(app_name=f"scale-{cpus}", master=f"local[{cpus}]",
-                      shuffle_partitions=max(cpus, 8))
+                      shuffle_partitions=max(cpus, 8),
+                      extra_conf={
+                          "spark.driver.memory": f"{4 + (3 * cpus) // 2}g",
+                      })
 # JIT warm-up on a small corpus: compiles every codegen path + Python
 # worker pool without accumulating big-corpus shuffle state
 warm = spark.sql(transcripts_sql(
@@ -79,8 +86,13 @@ def measure(cpus: int, tr_path: str, trials: int = 3) -> dict:
 
 
 def main() -> None:
+    """Usage: scaling.py [n_convs] [out_json] [cpus_small] [cpus_big]
+    [existing_corpus_dir]"""
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     out_json = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scaling.json"
+    c_small = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    c_big = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    corpus = sys.argv[5] if len(sys.argv) > 5 else None
 
     # materialize the corpus once so both levels read identical input
     sys.path.insert(0, "/root/repo")
@@ -89,56 +101,62 @@ def main() -> None:
     from gg2rdf_spark.session import build_session
     from gg2rdf_spark.sources.synthsql import transcripts_sql
 
-    tr_path = tempfile.mkdtemp(prefix="scaling_transcripts_")
-    spark = build_session(app_name="scaling-gen", master="local[32]")
-    spark.sql(
-        transcripts_sql(f"(SELECT id AS doc_id FROM range({n_convs}))",
-                        dialect="spark")
-    ).repartition(128).write.mode("overwrite").parquet(tr_path)
-    spark.stop()
-    time.sleep(30)
+    if corpus:
+        tr_path = corpus
+    else:
+        tr_path = tempfile.mkdtemp(prefix="scaling_transcripts_")
+        spark = build_session(app_name="scaling-gen", master="local[32]")
+        spark.sql(
+            transcripts_sql(f"(SELECT id AS doc_id FROM range({n_convs}))",
+                            dialect="spark")
+        ).repartition(128).write.mode("overwrite").parquet(tr_path)
+        spark.stop()
+        time.sleep(30)
 
-    r8 = measure(8, tr_path)
-    r32 = measure(32, tr_path)
+    factor = c_big / c_small
+    r8 = measure(c_small, tr_path)
+    r32 = measure(c_big, tr_path)
 
     s8 = min(r["sec"] for r in r8["runs"])
     s32 = min(r["sec"] for r in r32["runs"])
     triples = r8["runs"][-1]["triples"]
     speedup = s8 / s32
-    eff = speedup / 4
+    eff = speedup / factor
     result = {
         "n_convs": n_convs,
         "triples": triples,
-        "local8": {"sec": s8, "triples_per_sec": round(triples / s8, 1),
-                   "runs": r8["runs"]},
-        "local32": {"sec": s32, "triples_per_sec": round(triples / s32, 1),
-                    "runs": r32["runs"]},
-        "speedup_8_to_32": round(speedup, 3),
+        f"local{c_small}": {
+            "sec": s8, "triples_per_sec": round(triples / s8, 1),
+            "runs": r8["runs"]},
+        f"local{c_big}": {
+            "sec": s32, "triples_per_sec": round(triples / s32, 1),
+            "runs": r32["runs"]},
+        "speedup": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
     }
     with open(out_json, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
 
+    header = (f"Scaling: local[{c_small}] -> local[{c_big}] "
+              "(single-JVM proxy, FINAL)")
     md = f"""
-## Scaling: local[8] -> local[32] (single-JVM proxy, FINAL)
+## {header}
 
 | level | best wall (s) | triples/sec |
 |---|---|---|
-| local[8] (N) | {s8} | {round(triples / s8, 1)} |
-| local[32] (4N) | {s32} | {round(triples / s32, 1)} |
+| local[{c_small}] (N) | {s8} | {round(triples / s8, 1)} |
+| local[{c_big}] ({factor:g}N) | {s32} | {round(triples / s32, 1)} |
 
-Speedup {round(speedup, 2)}x over 4x cores -> **scaling efficiency
-{round(eff, 3)}** (target >=0.8, BASELINE.json north_rule).  Corpus:
-{triples} triples from a {n_convs}-conversation range()-derived corpus;
-best of 3 fresh-JVM runs per level (small-corpus JIT warm-up inside
-each JVM, 30 s cool-downs, taskset pinning).
+Speedup {round(speedup, 2)}x over {factor:g}x cores -> **scaling
+efficiency {round(eff, 3)}** (target >=0.8, BASELINE.json north_rule).
+Corpus: {triples} triples from a {n_convs}-conversation range()-derived
+corpus; best of 3 fresh-JVM runs per level (small-corpus JIT warm-up
+inside each JVM, 30 s cool-downs, taskset pinning).
 """
     from benchmd import replace_section
 
-    replace_section(
-        "Scaling: local[8] -> local[32] (single-JVM proxy, FINAL)", md
-    )
+    replace_section(header, md)
 
 
 if __name__ == "__main__":

@@ -81,8 +81,24 @@ def measure(n_exec: int, tr_path: str, trials: int = 3) -> dict:
 
 
 def main() -> None:
+    """Usage: scaling_cluster.py [n_convs] [out_json] [n_small] [n_big]
+    [existing_corpus_dir]
+
+    Default executor counts 1 → 4 (4 → 16 cores): BOTH levels leave
+    substantial headroom on the 32-thread sandbox box.  The first
+    protocol (2 → 8 executors = 8 → 32 cores) saturated the machine at
+    the 4N level — 10 JVMs' GC/service threads + 32 Python workers +
+    loopback-TCP shuffle competing for the same 32 hardware threads
+    the tasks need — which measures single-box oversubscription, not
+    executor scaling (a real cluster's 4N executors bring 4× machines).
+    Evidence: single-JVM local[32] runs the same corpus ~2× faster
+    than local-cluster[8,4], so the box itself is not the pipeline's
+    ceiling; the multi-JVM full-box topology is."""
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     out_json = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scaling_cluster.json"
+    n_small = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    n_big = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    corpus = sys.argv[5] if len(sys.argv) > 5 else None
 
     sys.path.insert(0, "/root/repo")
     import tempfile
@@ -90,29 +106,35 @@ def main() -> None:
     from gg2rdf_spark.session import build_session
     from gg2rdf_spark.sources.synthsql import transcripts_sql
 
-    tr_path = tempfile.mkdtemp(prefix="scalingc_transcripts_")
-    spark = build_session(app_name="scaling-gen", master="local[32]")
-    spark.sql(
-        transcripts_sql(f"(SELECT id AS doc_id FROM range({n_convs}))",
-                        dialect="spark")
-    ).repartition(128).write.mode("overwrite").parquet(tr_path)
-    spark.stop()
-    time.sleep(30)
+    if corpus:
+        tr_path = corpus
+    else:
+        tr_path = tempfile.mkdtemp(prefix="scalingc_transcripts_")
+        spark = build_session(app_name="scaling-gen", master="local[32]")
+        spark.sql(
+            transcripts_sql(f"(SELECT id AS doc_id FROM range({n_convs}))",
+                            dialect="spark")
+        ).repartition(128).write.mode("overwrite").parquet(tr_path)
+        spark.stop()
+        time.sleep(30)
 
-    rN = measure(2, tr_path)
-    r4N = measure(8, tr_path)
+    factor = n_big / n_small
+    rN = measure(n_small, tr_path)
+    r4N = measure(n_big, tr_path)
 
     sN = min(r["sec"] for r in rN["runs"])
     s4N = min(r["sec"] for r in r4N["runs"])
     triples = rN["runs"][-1]["triples"]
     speedup = sN / s4N
-    eff = speedup / 4
+    eff = speedup / factor
     result = {
         "n_convs": n_convs, "triples": triples,
-        "N_2x4": {"sec": sN, "triples_per_sec": round(triples / sN, 1),
-                  "runs": rN["runs"]},
-        "4N_8x4": {"sec": s4N, "triples_per_sec": round(triples / s4N, 1),
-                   "runs": r4N["runs"]},
+        f"N_{n_small}x4": {
+            "sec": sN, "triples_per_sec": round(triples / sN, 1),
+            "runs": rN["runs"]},
+        f"{factor:g}N_{n_big}x4": {
+            "sec": s4N, "triples_per_sec": round(triples / s4N, 1),
+            "runs": r4N["runs"]},
         "speedup_N_to_4N": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
     }
@@ -120,27 +142,26 @@ def main() -> None:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
 
+    header = (f"Scaling: {n_small} -> {n_big} executors "
+              "(local-cluster, real executor JVMs, FINAL)")
     md = f"""
-## Scaling: 2 -> 8 executors (local-cluster, real executor JVMs, FINAL)
+## {header}
 
 | level | best wall (s) | triples/sec |
 |---|---|---|
-| N = local-cluster[2,4,4g] | {sN} | {round(triples / sN, 1)} |
-| 4N = local-cluster[8,4,4g] | {s4N} | {round(triples / s4N, 1)} |
+| N = local-cluster[{n_small},4,4g] | {sN} | {round(triples / sN, 1)} |
+| {factor:g}N = local-cluster[{n_big},4,4g] | {s4N} | {round(triples / s4N, 1)} |
 
-Speedup {round(speedup, 2)}x over 4x executors -> **scaling efficiency
-{round(eff, 3)}** (target >=0.8).  Per-executor resources identical at
-both levels (4 cores, 4g) — the cluster-scaling contract the
-single-JVM local[N] proxy cannot represent (one shared heap/GC for all
-threads).  Corpus: {triples} triples from {n_convs} conversations;
+Speedup {round(speedup, 2)}x over {factor:g}x executors -> **scaling
+efficiency {round(eff, 3)}** (target >=0.8).  Per-executor resources
+identical at both levels (4 cores, 4g) — the cluster-scaling contract
+the single-JVM local[N] proxy cannot represent (one shared heap/GC for
+all threads).  Corpus: {triples} triples from {n_convs} conversations;
 best of 3 fresh clusters per level, JIT warm-up per cluster.
 """
     from benchmd import replace_section
 
-    replace_section(
-        "Scaling: 2 -> 8 executors (local-cluster, real executor JVMs, FINAL)",
-        md,
-    )
+    replace_section(header, md)
 
 
 if __name__ == "__main__":
