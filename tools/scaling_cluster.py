@@ -34,10 +34,14 @@ from gg2rdf_spark.sources.synthsql import transcripts_sql
 
 n_exec, tr_path = int(sys.argv[1]), sys.argv[2]
 cores = n_exec * 4
+# shuffle width is a DATA-sizing decision (100-TB principle): identical
+# at both cluster sizes when passed explicitly, so the physical plan is
+# fixed and only the resources vary (the N->4N contract)
+shuffle = int(sys.argv[3]) if len(sys.argv) > 3 else max(cores, 8)
 spark = build_session(
     app_name=f"scale-exec-{n_exec}",
     master=f"local-cluster[{n_exec},4,4096]",
-    shuffle_partitions=max(cores, 8),
+    shuffle_partitions=shuffle,
     extra_conf={
         "spark.executor.memory": "4g",
         "spark.default.parallelism": str(cores),
@@ -61,10 +65,12 @@ spark.stop()
 """
 
 
-def measure_once(n_exec: int, tr_path: str) -> dict:
+def measure_once(n_exec: int, tr_path: str, shuffle: int = 0) -> dict:
+    cmd = [sys.executable, "-c", RUNNER, str(n_exec), tr_path]
+    if shuffle:
+        cmd.append(str(shuffle))
     out = subprocess.run(
-        [sys.executable, "-c", RUNNER, str(n_exec), tr_path],
-        capture_output=True, text=True, timeout=3600, cwd="/root/repo",
+        cmd, capture_output=True, text=True, timeout=3600, cwd="/root/repo",
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -72,10 +78,11 @@ def measure_once(n_exec: int, tr_path: str) -> dict:
     raise RuntimeError(f"no RESULT: {out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
-def measure(n_exec: int, tr_path: str, trials: int = 3) -> dict:
+def measure(n_exec: int, tr_path: str, trials: int = 3,
+            shuffle: int = 0) -> dict:
     runs = []
     for _ in range(trials):
-        runs.append(measure_once(n_exec, tr_path))
+        runs.append(measure_once(n_exec, tr_path, shuffle))
         time.sleep(30)
     return {"executors": n_exec, "runs": runs}
 
@@ -98,7 +105,9 @@ def main() -> None:
     out_json = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scaling_cluster.json"
     n_small = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     n_big = int(sys.argv[4]) if len(sys.argv) > 4 else 4
-    corpus = sys.argv[5] if len(sys.argv) > 5 else None
+    corpus = sys.argv[5] if len(sys.argv) > 5 and sys.argv[5] != "-" else None
+    trials = int(sys.argv[6]) if len(sys.argv) > 6 else 3
+    shuffle = int(sys.argv[7]) if len(sys.argv) > 7 else 0
 
     sys.path.insert(0, "/root/repo")
     import tempfile
@@ -119,8 +128,8 @@ def main() -> None:
         time.sleep(30)
 
     factor = n_big / n_small
-    rN = measure(n_small, tr_path)
-    r4N = measure(n_big, tr_path)
+    rN = measure(n_small, tr_path, trials, shuffle)
+    r4N = measure(n_big, tr_path, trials, shuffle)
 
     sN = min(r["sec"] for r in rN["runs"])
     s4N = min(r["sec"] for r in r4N["runs"])
@@ -143,7 +152,7 @@ def main() -> None:
     print(json.dumps(result))
 
     header = (f"Scaling: {n_small} -> {n_big} executors "
-              "(local-cluster, real executor JVMs, FINAL)")
+              f"(local-cluster, real executor JVMs, {n_convs} convs, FINAL)")
     md = f"""
 ## {header}
 
