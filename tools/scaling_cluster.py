@@ -37,13 +37,17 @@ cores = n_exec * 4
 # shuffle width is a DATA-sizing decision (100-TB principle): identical
 # at both cluster sizes when passed explicitly, so the physical plan is
 # fixed and only the resources vary (the N->4N contract)
-shuffle = int(sys.argv[3]) if len(sys.argv) > 3 else max(cores, 8)
+shuffle = int(sys.argv[3]) if len(sys.argv) > 3 and int(sys.argv[3]) else max(cores, 8)
+# per-executor memory: identical at both cluster sizes (the N->4N
+# contract); sized to the corpus via argv (4g suffices at 200k convs,
+# larger corpora need more per-executor heap like any real submission)
+mem_mb = int(sys.argv[4]) if len(sys.argv) > 4 else 4096
 spark = build_session(
     app_name=f"scale-exec-{n_exec}",
-    master=f"local-cluster[{n_exec},4,4096]",
+    master=f"local-cluster[{n_exec},4,{mem_mb}]",
     shuffle_partitions=shuffle,
     extra_conf={
-        "spark.executor.memory": "4g",
+        "spark.executor.memory": f"{mem_mb}m",
         "spark.default.parallelism": str(cores),
         # executors are real separate JVMs: ship the package like a
         # spark-submit --py-files deployment would
@@ -65,10 +69,10 @@ spark.stop()
 """
 
 
-def measure_once(n_exec: int, tr_path: str, shuffle: int = 0) -> dict:
-    cmd = [sys.executable, "-c", RUNNER, str(n_exec), tr_path]
-    if shuffle:
-        cmd.append(str(shuffle))
+def measure_once(n_exec: int, tr_path: str, shuffle: int = 0,
+                 mem_mb: int = 4096) -> dict:
+    cmd = [sys.executable, "-c", RUNNER, str(n_exec), tr_path,
+           str(shuffle or 0) or "0", str(mem_mb)]
     out = subprocess.run(
         cmd, capture_output=True, text=True, timeout=3600, cwd="/root/repo",
     )
@@ -79,10 +83,10 @@ def measure_once(n_exec: int, tr_path: str, shuffle: int = 0) -> dict:
 
 
 def measure(n_exec: int, tr_path: str, trials: int = 3,
-            shuffle: int = 0) -> dict:
+            shuffle: int = 0, mem_mb: int = 4096) -> dict:
     runs = []
     for _ in range(trials):
-        runs.append(measure_once(n_exec, tr_path, shuffle))
+        runs.append(measure_once(n_exec, tr_path, shuffle, mem_mb))
         time.sleep(30)
     return {"executors": n_exec, "runs": runs}
 
@@ -108,6 +112,7 @@ def main() -> None:
     corpus = sys.argv[5] if len(sys.argv) > 5 and sys.argv[5] != "-" else None
     trials = int(sys.argv[6]) if len(sys.argv) > 6 else 3
     shuffle = int(sys.argv[7]) if len(sys.argv) > 7 else 0
+    mem_mb = int(sys.argv[8]) if len(sys.argv) > 8 else 4096
 
     sys.path.insert(0, "/root/repo")
     import tempfile
@@ -128,8 +133,8 @@ def main() -> None:
         time.sleep(30)
 
     factor = n_big / n_small
-    rN = measure(n_small, tr_path, trials, shuffle)
-    r4N = measure(n_big, tr_path, trials, shuffle)
+    rN = measure(n_small, tr_path, trials, shuffle, mem_mb)
+    r4N = measure(n_big, tr_path, trials, shuffle, mem_mb)
 
     sN = min(r["sec"] for r in rN["runs"])
     s4N = min(r["sec"] for r in r4N["runs"])
@@ -158,12 +163,12 @@ def main() -> None:
 
 | level | best wall (s) | triples/sec |
 |---|---|---|
-| N = local-cluster[{n_small},4,4g] | {sN} | {round(triples / sN, 1)} |
-| {factor:g}N = local-cluster[{n_big},4,4g] | {s4N} | {round(triples / s4N, 1)} |
+| N = local-cluster[{n_small},4,{mem_mb}m] | {sN} | {round(triples / sN, 1)} |
+| {factor:g}N = local-cluster[{n_big},4,{mem_mb}m] | {s4N} | {round(triples / s4N, 1)} |
 
 Speedup {round(speedup, 2)}x over {factor:g}x executors -> **scaling
 efficiency {round(eff, 3)}** (target >=0.8).  Per-executor resources
-identical at both levels (4 cores, 4g) — the cluster-scaling contract
+identical at both levels (4 cores, {mem_mb}m) — the cluster-scaling contract
 the single-JVM local[N] proxy cannot represent (one shared heap/GC for
 all threads).  Corpus: {triples} triples from {n_convs} conversations;
 best of 3 fresh clusters per level, JIT warm-up per cluster.
