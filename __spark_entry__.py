@@ -135,6 +135,28 @@ def _q_kg_status_counts(spark, sf_dir):
     return s.groupBy("status").agg(F.count("*").alias("n"))
 
 
+def _q_ttl_validate(spark, sf_dir):
+    """Serialize every conversation to Turtle and RUN the well-formedness
+    validator over each document (A4 + the reference's
+    validate_everything.bash gate, as a driver-checked query: any
+    malformed doc yields n_errors > 0 and breaks the value hash)."""
+    import pandas as pd
+
+    from gg2rdf_spark.functions.ttl_check import validate_turtle
+
+    pipe = _pipeline(spark, sf_dir)
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "conv_id": pdf["conv_id"],
+                "n_errors": pdf["ttl"].map(
+                    lambda t: len(validate_turtle(t))).astype("int32"),
+            })
+
+    return pipe.turtle().mapInPandas(gen, "conv_id string, n_errors int")
+
+
 # ---- relational primitives -------------------------------------------------
 
 
@@ -458,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_taxon_name_uri": _q_kg_taxon_name_uri,
         "kg_triples_by_pred": _q_kg_triples_by_pred,
         "kg_status_counts": _q_kg_status_counts,
+        "ttl_validate": _q_ttl_validate,
         "rel_filter_project": _q_rel_filter_project,
         "rel_group_accumulate": _q_rel_group_accumulate,
         "rel_window_precedence": _q_rel_window_precedence,
@@ -844,6 +867,8 @@ def oracle_sql() -> dict[str, str]:
     )
     sqls["kg_triples_by_pred"] = kg_triples_by_pred_sql()
     sqls["kg_status_counts"] = kg_status_counts_sql()
+    from gg2rdf_spark.sources.kgoracle import kg_ttl_convs_sql
+    sqls["ttl_validate"] = kg_ttl_convs_sql()
 
     sqls["rel_filter_project"] = """
 SELECT event_id, user_id, round(value, 2) AS value

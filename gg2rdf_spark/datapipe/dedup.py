@@ -306,8 +306,14 @@ def _simhash_band_candidates(big: DataFrame,
         F.explode(F.array(*[
             F.struct(
                 F.lit(i).alias("bi"),
-                (F.shiftright("simhash", start) % F.lit(1 << 16))
-                .alias("bv"),
+                # shiftrightunsigned + mask: band value must be a pure
+                # function of the 16 band bits for ANY long signature
+                # (Spark's % keeps the dividend sign, so a set bit 63
+                # would yield negative remainders and break the
+                # XOR-multiprobe superset property for externally
+                # supplied signature frames)
+                F.shiftrightunsigned("simhash", start)
+                .bitwiseAND(F.lit(0xFFFF)).alias("bv"),
             )
             for i, (start, _w) in enumerate(bands)
         ])).alias("bb"),
@@ -404,8 +410,14 @@ def _ngram_prefix_candidates(big: DataFrame, threshold: float) -> DataFrame:
     """Distinct candidate pairs (id_a, id_b) from an
     (id, sh, len_bucket, tok0) frame via exact Jaccard prefix
     filtering.  Own function so the skew test can count candidates."""
+    # epsilon guards the AllPairs bound against fp rounding: if
+    # fl(t)*|x| lands a hair ABOVE an integer boundary the ceil would
+    # overshoot and shorten the prefix below the exactness requirement;
+    # undershooting merely lengthens it (superset stays exact — every
+    # candidate is Jaccard-verified downstream)
     prefix_len = (
-        F.size("sh") - F.ceil(F.lit(threshold) * F.size("sh")) + 1
+        F.size("sh")
+        - F.ceil(F.lit(threshold) * F.size("sh") - F.lit(1e-9)) + 1
     ).cast("int")
     pref = big.select(
         "id", "len_bucket", "tok0",

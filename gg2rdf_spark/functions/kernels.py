@@ -269,6 +269,13 @@ RANK_NAMES = [
     "undef-species", "subSpecies", "variety", "form",
 ]
 
+# attrs that make a flat unit its own cited taxon (the generator's
+# flat convention carries taxon attrs directly on the unit); shared by
+# the citation assembler and the differential test oracle
+TAXON_KEYS = frozenset(RANK_NAMES) | {
+    "rank", "authorityName", "baseAuthorityName", "authority",
+}
+
 # RANKS enum (gg2rdf.ts:118-128)
 RANKS_INVALID = 0
 RANKS_KINGDOM = 1

@@ -217,7 +217,7 @@ def citation_frame(mentions: DataFrame, docs: DataFrame,
     directly (NOT through the conv-bundle pass, which would force that
     pass to round-trip two map columns through Arrow just to feed this
     one)."""
-    from ..refimpl import _TAXON_KEYS
+    from ..functions.kernels import TAXON_KEYS as _TAXON_KEYS
     from .grouped import scaled_partitions
 
     # NULL-safe: most mentions carry no `_inside`, and `NULL == x`

@@ -29,16 +29,42 @@ from pyspark.sql import functions as F
 
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst",
-    max_iter: int = 30,
+    max_iter: int = 30, rows_per_partition: int = 250_000,
 ) -> DataFrame:
     """Returns (node, component) with component = min node id (by
-    string/natural ordering) reachable from node."""
+    string/natural ordering) reachable from node.
+
+    The label-propagation loop runs ~4 shuffles per round over frames
+    no larger than the edge list — usually 100-1000× smaller than the
+    triple stream that produced the alias edges.  With AQE partition
+    coalescing disabled session-wide (session.py), those shuffles
+    would otherwise run at the full session width (32+ tasks over a
+    few k rows, ~6 rounds deep).  So the loop sizes its own shuffle
+    width from the measured edge count and scopes
+    ``spark.sql.shuffle.partitions`` to the loop, restoring the
+    caller's value on exit — the same data-sized-width principle the
+    rest of the pipeline applies statically.  At 100 TB the edge list
+    is large and the width scales with it (cap: the session width).
+    """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
         .persist()
     )
+    spark = edges.sparkSession
+    n_edges = sym.count()  # also materializes the persist
+    session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    width = max(4, min(session_width, -(-n_edges // rows_per_partition)))
+    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    try:
+        return _cc_loop(sym, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_width)
+
+
+def _cc_loop(sym: DataFrame, max_iter: int) -> DataFrame:
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()

@@ -42,7 +42,21 @@ class KGPipeline:
     builds hit warm caches."""
 
     def __init__(self, transcripts: DataFrame, cache: bool = True,
-                 eager: bool = False):
+                 eager: bool | None = None):
+        if eager is None:
+            # default ON (spark.gg2rdf.eagerCache=false to opt out).
+            # Round-4 event-log profile of the 400k-conv corpus on
+            # local-cluster[4,4]: with lazy caches the broadcast
+            # sub-jobs' duplicated lineage recomputation inflated total
+            # task time to ~4650 core-s vs ~1400 core-s of actual work
+            # (16 cores 100% busy for 290 s, zero GC/spill/fetch-wait)
+            # — the entire N->4N "scaling collapse" was duplicated
+            # work, growing with BOTH corpus size and parallelism.
+            eager = (
+                transcripts.sparkSession.conf.get(
+                    "spark.gg2rdf.eagerCache", "true"
+                ).lower() == "true"
+            )
         self.transcripts = transcripts
         self.mentions = E.parse_mentions(transcripts)
         if cache:

@@ -823,9 +823,7 @@ _CITATION_KINDS = (
 )
 # attrs that make a flat unit its own cited taxon (the generator's
 # flat convention carries taxon attrs directly on the unit)
-_TAXON_KEYS = frozenset(K.RANK_NAMES) | {
-    "rank", "authorityName", "baseAuthorityName", "authority",
-}
+_TAXON_KEYS = K.TAXON_KEYS
 
 
 def resolve_citation_units(mentions, log) -> list:

@@ -106,6 +106,13 @@ def materialize(
         spark.createDataFrame(counters).write.mode("append").parquet(
             manifest_path
         )
+        # schema sidecar: lets read_triples serve a fully-emptied sink
+        # (all buckets deleted -> no parquet footers left to infer from)
+        sp = os.path.join(path, "_schema.json")
+        if not os.path.exists(sp):
+            with open(sp + ".tmp", "w") as f:
+                f.write(df.schema.json())
+            os.replace(sp + ".tmp", sp)
     return {
         "run_id": run_id,
         "written_buckets": len(counters),
@@ -149,8 +156,7 @@ def delete_conversations(
     from pyspark.sql import functions as F
 
     recover_pending_swap(path, gc_stale=True)
-    data_path = os.path.join(path, "data")
-    df = spark.read.parquet(data_path)
+    df = _read_data(spark, path)
     # partition pruning: only buckets actually holding the removed
     # conversations are read and rewritten
     buckets = [
@@ -177,10 +183,17 @@ def delete_conversations(
         _fail_injector()  # test seam: crash after stage, before journal
 
     os.makedirs(trash, exist_ok=True)
-    _write_journal(path, {"tmp": tmp, "trash": trash,
-                          "buckets": [int(b) for b in buckets]})
-    _apply_swap(path, tmp, trash, buckets)
-    n_after = spark.read.parquet(data_path).filter(
+    # hold the swap lock for the whole journal->swap->cleanup window so
+    # a reader's roll-forward (read_triples -> recover_pending_swap)
+    # can never interleave renames with this live swap
+    _acquire_swap_lock(path)
+    try:
+        _write_journal(path, {"tmp": tmp, "trash": trash,
+                              "buckets": [int(b) for b in buckets]})
+        _apply_swap(path, tmp, trash, buckets)
+    finally:
+        _release_swap_lock(path)
+    n_after = _read_data(spark, path).filter(
         F.col("conv_bucket").isin(buckets)
     ).count()
     removed = n_before - n_after
@@ -196,6 +209,49 @@ def _journal_path(path: str) -> str:
     return os.path.join(path, "_swap-journal.json")
 
 
+def _lock_path(path: str) -> str:
+    return os.path.join(path, "_swap.lock")
+
+
+def _acquire_swap_lock(path: str, timeout: float = 60.0,
+                       stale_s: float = 300.0) -> bool:
+    """O_EXCL lock serializing swap application across PROCESSES.
+
+    delete_conversations holds it for the whole journal->swap->cleanup
+    window; a reader that finds a journal (crashed writer) takes it
+    before rolling forward.  Without it, a reader-initiated recovery
+    racing a live writer could interleave R1/R2 renames and move NEW
+    data into trash (worse than the crash being recovered from).  A
+    lock whose mtime is older than ``stale_s`` belongs to a crashed
+    holder and is broken; the journal protocol makes a re-applied swap
+    idempotent, so breaking is safe."""
+    lp = _lock_path(path)
+    deadline = time.time() + timeout
+    while True:
+        try:
+            fd = os.open(lp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            return True
+        except FileExistsError:
+            try:
+                if time.time() - os.stat(lp).st_mtime > stale_s:
+                    os.remove(lp)
+                    continue
+            except FileNotFoundError:
+                continue  # holder released between open and stat
+            if time.time() > deadline:
+                raise TimeoutError(f"swap lock busy: {lp}")
+            time.sleep(0.05)
+
+
+def _release_swap_lock(path: str) -> None:
+    try:
+        os.remove(_lock_path(path))
+    except FileNotFoundError:
+        pass  # broken as stale by a peer; its holder may have crashed
+
+
 def _write_journal(path: str, payload: dict) -> None:
     import json
 
@@ -209,7 +265,12 @@ def _write_journal(path: str, payload: dict) -> None:
 
 def _apply_swap(path: str, tmp: str, trash: str, buckets) -> None:
     """Swap each staged bucket into data/; idempotent, resumable from
-    any interleaving point (see state walk in recover_pending_swap)."""
+    any interleaving point (see state walk in recover_pending_swap).
+
+    Callers must hold the swap lock (_acquire_swap_lock).  The renames
+    are additionally ENOENT-tolerant as defense in depth: if a peer
+    that broke a stale lock finished a rename first, losing the race
+    is a no-op rather than a crash."""
     data_path = os.path.join(path, "data")
     for b in buckets:
         dst = os.path.join(data_path, f"conv_bucket={b}")
@@ -218,12 +279,21 @@ def _apply_swap(path: str, tmp: str, trash: str, buckets) -> None:
         if not os.path.isdir(old):
             # R1 not yet done for this bucket: dst still holds OLD data
             if os.path.isdir(dst):
-                os.rename(dst, old)
+                try:
+                    os.rename(dst, old)
+                except FileNotFoundError:
+                    pass
         if _swap_fail_injector is not None:
             _swap_fail_injector(b)  # test seam: crash mid-swap (post-R1)
         if os.path.isdir(src):
-            os.rename(src, dst)  # R2; emptied buckets simply have no src
-    os.remove(_journal_path(path))
+            try:
+                os.rename(src, dst)  # R2; emptied buckets have no src
+            except FileNotFoundError:
+                pass
+    try:
+        os.remove(_journal_path(path))
+    except FileNotFoundError:
+        pass
 
 
 def recover_pending_swap(path: str, gc_stale: bool = False) -> bool:
@@ -253,11 +323,20 @@ def recover_pending_swap(path: str, gc_stale: bool = False) -> bool:
                     shutil.rmtree(os.path.join(path, d),
                                   ignore_errors=True)
         return False
-    with open(jp) as f:
-        j = json.load(f)
-    _apply_swap(path, j["tmp"], j["trash"], j["buckets"])
-    shutil.rmtree(j["trash"], ignore_errors=True)
-    shutil.rmtree(j["tmp"], ignore_errors=True)
+    # serialize with any live writer: a journal may exist for the whole
+    # _apply_swap window of an IN-PROGRESS delete, not only after a
+    # crash — rolling forward concurrently would race its renames
+    _acquire_swap_lock(path)
+    try:
+        if not os.path.exists(jp):
+            return False  # the writer finished while we waited
+        with open(jp) as f:
+            j = json.load(f)
+        _apply_swap(path, j["tmp"], j["trash"], j["buckets"])
+        shutil.rmtree(j["trash"], ignore_errors=True)
+        shutil.rmtree(j["tmp"], ignore_errors=True)
+    finally:
+        _release_swap_lock(path)
     return True
 
 
@@ -266,11 +345,34 @@ _fail_injector = None
 _swap_fail_injector = None
 
 
+def _read_data(spark: SparkSession, path: str) -> DataFrame:
+    """Read data/ — serving an EMPTY frame (from the _schema.json
+    sidecar) when a delete removed every bucket: an all-partition-dirs
+    -gone parquet directory has no footers left, and a bare
+    spark.read.parquet would fail with 'unable to infer schema'."""
+    data_path = os.path.join(path, "data")
+    has_parts = os.path.isdir(data_path) and any(
+        d.startswith(("conv_bucket=", "batch_run=", "part-"))
+        for d in os.listdir(data_path)
+    )
+    if not has_parts:
+        sp = os.path.join(path, "_schema.json")
+        if os.path.exists(sp):
+            import json
+
+            from pyspark.sql.types import StructType
+
+            with open(sp) as f:
+                schema = StructType.fromJson(json.load(f))
+            return spark.createDataFrame([], schema)
+    return spark.read.parquet(data_path)
+
+
 def read_triples(spark: SparkSession, path: str) -> DataFrame:
     # a crashed delete must not be readable as partial state: complete
     # it first (no-op unless a journal is present — one os.path.exists)
     recover_pending_swap(path)
-    return spark.read.parquet(os.path.join(path, "data"))
+    return _read_data(spark, path)
 
 
 def read_manifest(spark: SparkSession, path: str) -> DataFrame:

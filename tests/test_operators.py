@@ -324,6 +324,34 @@ class TestDelete:
         assert left.count() == 27
         assert left.filter("conv_id in ('c1','c2','c3')").count() == 0
 
+    def test_delete_all_conversations_keeps_sink_readable(
+        self, spark, tmp_path
+    ):
+        """Round-3 ADVICE: deleting EVERY conversation leaves data/ with
+        no partition dirs (no parquet footer to infer a schema from);
+        the _schema.json sidecar must keep the sink readable as an
+        empty frame with the original schema."""
+        from gg2rdf_spark.sources.materialize import (
+            delete_conversations, materialize, read_triples,
+        )
+
+        t = spark.createDataFrame(
+            [(f"c{i}", 2, 0, f"<s{i}>", "a", "<k>", 0) for i in range(6)],
+            "conv_id string, block int, subj_ord long, subj string, "
+            "pred string, obj string, obj_ord long",
+        )
+        path = str(tmp_path / "sink")
+        materialize(t, path, n_buckets=4)
+        stats = delete_conversations(
+            spark, path, [f"c{i}" for i in range(6)], n_buckets=4)
+        assert stats["triples_removed"] == 6
+        left = read_triples(spark, path)
+        assert left.count() == 0
+        assert "conv_id" in left.columns and "conv_bucket" in left.columns
+        # a fresh delete against the emptied sink is also a no-op
+        stats2 = delete_conversations(spark, path, ["c0"], n_buckets=4)
+        assert stats2["triples_removed"] == 0
+
     def test_delete_crash_before_swap_keeps_sink_readable(
         self, spark, tmp_path
     ):

@@ -33,7 +33,8 @@ from gg2rdf_spark.pipeline import KGPipeline
 from gg2rdf_spark.sources.synthsql import transcripts_sql
 
 n_exec, tr_path = int(sys.argv[1]), sys.argv[2]
-cores = n_exec * 4
+cores_per = int(sys.argv[5]) if len(sys.argv) > 5 else 4
+cores = n_exec * cores_per
 # shuffle width is a DATA-sizing decision (100-TB principle): identical
 # at both cluster sizes when passed explicitly, so the physical plan is
 # fixed and only the resources vary (the N->4N contract)
@@ -44,7 +45,7 @@ shuffle = int(sys.argv[3]) if len(sys.argv) > 3 and int(sys.argv[3]) else max(co
 mem_mb = int(sys.argv[4]) if len(sys.argv) > 4 else 4096
 spark = build_session(
     app_name=f"scale-exec-{n_exec}",
-    master=f"local-cluster[{n_exec},4,{mem_mb}]",
+    master=f"local-cluster[{n_exec},{cores_per},{mem_mb}]",
     shuffle_partitions=shuffle,
     extra_conf={
         "spark.executor.memory": f"{mem_mb}m",
@@ -52,6 +53,15 @@ spark = build_session(
         # executors are real separate JVMs: ship the package like a
         # spark-submit --py-files deployment would
         "spark.executorEnv.PYTHONPATH": "/root/repo",
+        # a real cluster container is cpu-quota-limited and the JVM
+        # sizes JIT/GC/service pools from that quota; local-cluster
+        # executors see the whole 32-core box instead, so N JVMs each
+        # spawn 32-core-sized service-thread pools (round-4 diagnosis
+        # of the 400k-conv 4N inflation).  Pin the JVM's own view to
+        # its task cores, as cgroups would:
+        "spark.executor.extraJavaOptions":
+            f"-XX:ActiveProcessorCount={cores_per} "
+            "-Djava.net.preferIPv4Stack=true",
     },
 )
 warm = spark.sql(transcripts_sql(
@@ -70,9 +80,9 @@ spark.stop()
 
 
 def measure_once(n_exec: int, tr_path: str, shuffle: int = 0,
-                 mem_mb: int = 4096) -> dict:
+                 mem_mb: int = 4096, cores_per: int = 4) -> dict:
     cmd = [sys.executable, "-c", RUNNER, str(n_exec), tr_path,
-           str(shuffle or 0) or "0", str(mem_mb)]
+           str(shuffle or 0) or "0", str(mem_mb), str(cores_per)]
     out = subprocess.run(
         cmd, capture_output=True, text=True, timeout=3600, cwd="/root/repo",
     )
@@ -83,10 +93,12 @@ def measure_once(n_exec: int, tr_path: str, shuffle: int = 0,
 
 
 def measure(n_exec: int, tr_path: str, trials: int = 3,
-            shuffle: int = 0, mem_mb: int = 4096) -> dict:
+            shuffle: int = 0, mem_mb: int = 4096,
+            cores_per: int = 4) -> dict:
     runs = []
     for _ in range(trials):
-        runs.append(measure_once(n_exec, tr_path, shuffle, mem_mb))
+        runs.append(measure_once(n_exec, tr_path, shuffle, mem_mb,
+                                 cores_per))
         time.sleep(30)
     return {"executors": n_exec, "runs": runs}
 
@@ -113,6 +125,7 @@ def main() -> None:
     trials = int(sys.argv[6]) if len(sys.argv) > 6 else 3
     shuffle = int(sys.argv[7]) if len(sys.argv) > 7 else 0
     mem_mb = int(sys.argv[8]) if len(sys.argv) > 8 else 4096
+    cores_per = int(sys.argv[9]) if len(sys.argv) > 9 else 4
 
     sys.path.insert(0, "/root/repo")
     import tempfile
@@ -133,8 +146,8 @@ def main() -> None:
         time.sleep(30)
 
     factor = n_big / n_small
-    rN = measure(n_small, tr_path, trials, shuffle, mem_mb)
-    r4N = measure(n_big, tr_path, trials, shuffle, mem_mb)
+    rN = measure(n_small, tr_path, trials, shuffle, mem_mb, cores_per)
+    r4N = measure(n_big, tr_path, trials, shuffle, mem_mb, cores_per)
 
     sN = min(r["sec"] for r in rN["runs"])
     s4N = min(r["sec"] for r in r4N["runs"])
@@ -156,22 +169,24 @@ def main() -> None:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
 
-    header = (f"Scaling: {n_small} -> {n_big} executors "
+    header = (f"Scaling: {n_small} -> {n_big} executors x {cores_per} cores "
               f"(local-cluster, real executor JVMs, {n_convs} convs, FINAL)")
     md = f"""
 ## {header}
 
 | level | best wall (s) | triples/sec |
 |---|---|---|
-| N = local-cluster[{n_small},4,{mem_mb}m] | {sN} | {round(triples / sN, 1)} |
-| {factor:g}N = local-cluster[{n_big},4,{mem_mb}m] | {s4N} | {round(triples / s4N, 1)} |
+| N = local-cluster[{n_small},{cores_per},{mem_mb}m] | {sN} | {round(triples / sN, 1)} |
+| {factor:g}N = local-cluster[{n_big},{cores_per},{mem_mb}m] | {s4N} | {round(triples / s4N, 1)} |
 
 Speedup {round(speedup, 2)}x over {factor:g}x executors -> **scaling
 efficiency {round(eff, 3)}** (target >=0.8).  Per-executor resources
-identical at both levels (4 cores, {mem_mb}m) — the cluster-scaling contract
+identical at both levels ({cores_per} cores, {mem_mb}m) — the cluster-scaling contract
 the single-JVM local[N] proxy cannot represent (one shared heap/GC for
 all threads).  Corpus: {triples} triples from {n_convs} conversations;
-best of 3 fresh clusters per level, JIT warm-up per cluster.
+best of {trials} fresh cluster(s) per level, JIT warm-up per cluster,
+eager stage-cache materialization, executor JVMs pinned to
+-XX:ActiveProcessorCount={cores_per}.
 """
     from benchmd import replace_section
 
