@@ -510,3 +510,46 @@ class TestEventTimeWindows:
         # the dropped 1:30 'b' row must NOT appear anywhere
         assert got == expect
         assert got[(1, "b")] == 1  # not 2 — the beyond-delay row dropped
+
+
+class TestParseOrdering:
+    def test_counter_g_ord_equals_window_row_number(self, spark):
+        """Round 4 moved g_ord from a mention-level row_number window
+        to a running counter inside the conv-sorted Arrow parse; the
+        two must be indistinguishable (the reference's alreadyCited
+        fold is order-sensitive, gg2rdf.ts:1102-1143).  Exercises
+        multi-mention turns, multi-turn convs, and convs interleaved
+        across input partitions."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from gg2rdf_spark.operators.extract import parse_mentions
+
+        def turn(i):
+            return (
+                "[[taxonomicName _section=nomenclature genus=Aus"
+                f" species=s{i}]]Aus s{i}[[/]] then "
+                f"[[figureCitation figureDoi=d{i}]]Fig {i}[[/]] and "
+                f"[[materialsCitation country=C{i}]]mat[[/]]"
+            )
+
+        rows = [
+            (f"c{c:03d}", t, "assistant", turn(t), None)
+            for c in range(40) for t in range(5)
+        ]
+        tr = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string",
+        ).repartition(7)  # interleave convs across partitions
+        m = parse_mentions(tr).persist()
+        w = Window.partitionBy("conv_id").orderBy("turn_idx", "start")
+        ref = m.drop("g_ord").withColumn("g_ord", F.row_number().over(w))
+        cols = ["conv_id", "turn_idx", "start", "kind", "g_ord"]
+        diff = (
+            m.select(*cols).exceptAll(ref.select(*cols)).count()
+            + ref.select(*cols).exceptAll(m.select(*cols)).count()
+        )
+        assert m.count() == 40 * 5 * 3
+        assert diff == 0
+        m.unpersist()
