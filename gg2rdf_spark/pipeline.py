@@ -86,9 +86,23 @@ class KGPipeline:
             self.mats = self.mats.persist()
         self.verns = A.vernacular_frame(self.mentions)
         if cache and eager:
-            for df in (self.mentions, self.docs, self.tt, self.convs,
-                       self.cits, self.fold, self.mats):
-                df.count()
+            # materialize in dependency WAVES, counting each wave's
+            # frames concurrently (Spark job submission is
+            # thread-safe): a strict serial chain of 7 count barriers
+            # leaves most of a wide cluster idle during the small
+            # counts; within a wave every input is already cached, so
+            # concurrent counts share no recomputation
+            from concurrent.futures import ThreadPoolExecutor
+
+            waves = [
+                (self.mentions,),
+                (self.docs, self.tt),
+                (self.convs, self.cits),
+                (self.fold, self.mats),
+            ]
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                for wave in waves:
+                    list(ex.map(lambda df: df.count(), wave))
 
     def triples(self) -> DataFrame:
         return T.triples_frame(
