@@ -39,34 +39,46 @@ def connected_components(
     triple stream that produced the alias edges.  With AQE partition
     coalescing disabled session-wide (session.py), those shuffles
     would otherwise run at the full session width (32+ tasks over a
-    few k rows, ~6 rounds deep).  So the loop sizes its own shuffle
-    width from the measured edge count and scopes
-    ``spark.sql.shuffle.partitions`` to the loop, restoring the
-    caller's value on exit — the same data-sized-width principle the
-    rest of the pipeline applies statically.  At 100 TB the edge list
-    is large and the width scales with it (cap: the session width).
+    few k rows, ~6 rounds deep).  So the loop sizes a shuffle width
+    from the measured edge count and applies it EXPLICITLY with
+    ``repartition(width, key)`` at every shuffle boundary — never by
+    mutating ``spark.sql.shuffle.partitions``, which is session-global
+    and therefore races every concurrently-built plan (the eager-cache
+    waves submit jobs from a thread pool, and several operators read
+    that conf at plan-build time; round-4 ADVICE).  Because both sides
+    of each join arrive hash-partitioned on the join key at the SAME
+    width, EnsureRequirements elides any extra exchange, so the loop's
+    shuffles run at exactly ``width`` regardless of the session
+    setting.  At 100 TB the edge list is large and the width scales
+    with it (cap: the session width).
     """
+    spark = edges.sparkSession
+    session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .repartition(session_width, "a", "b")
         .distinct()
         .persist()
     )
-    spark = edges.sparkSession
     n_edges = sym.count()  # also materializes the persist
-    session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     width = max(4, min(session_width, -(-n_edges // rows_per_partition)))
-    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    # re-lay the (persisted) edge frame once on the join key at the
+    # loop width: every per-round join against it is then exchange-free
+    # on the edge side
+    sym_b = sym.repartition(width, "b").persist()
+    sym_b.count()
+    sym.unpersist()
     try:
-        return _cc_loop(sym, max_iter)
+        return _cc_loop(sym_b, max_iter, width)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_width)
+        sym_b.unpersist()
 
 
-def _cc_loop(sym: DataFrame, max_iter: int) -> DataFrame:
+def _cc_loop(sym_b: DataFrame, max_iter: int, width: int) -> DataFrame:
     labels = (
-        sym.select(F.col("a").alias("node"))
+        sym_b.select(F.col("a").alias("node"))
+        .repartition(width, "node")
         .distinct()
         .withColumn("component", F.col("node"))
         .localCheckpoint()
@@ -74,46 +86,55 @@ def _cc_loop(sym: DataFrame, max_iter: int) -> DataFrame:
     for _ in range(max_iter):
         # neighbor-min step: label(v) ← min over neighbors u of label(u)
         nbr = (
-            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            sym_b.join(
+                labels.withColumnRenamed("node", "b")
+                .repartition(width, "b"),
+                "b",
+            )
+            .repartition(width, "a")
             .groupBy("a").agg(F.min("component").alias("nbr_min"))
             .withColumnRenamed("a", "node")
         )
-        stepped = labels.join(nbr, "node", "left").select(
-            "node",
-            F.least(
-                F.col("component"),
-                F.coalesce(F.col("nbr_min"), F.col("component")),
-            ).alias("component"),
+        stepped = (
+            labels.repartition(width, "node")
+            .join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("component"),
+            )
         )
         # pointer-jump (path halving): label(v) ← label(label(v)) —
         # turns O(diameter) convergence into O(log diameter) (a chain
         # of 30 converged in 30 rounds before; ~6 after)
         comp_map = stepped.select(
             F.col("node").alias("c_node"), F.col("component").alias("c_comp")
-        )
+        ).repartition(width, "c_node")
         new_labels = (
-            stepped.join(
-                comp_map, stepped["component"] == comp_map["c_node"], "left"
+            stepped.repartition(width, "component")
+            .join(
+                comp_map, F.col("component") == comp_map["c_node"], "left"
             )
             .select(
-                stepped["node"],
+                F.col("node"),
                 F.least(
-                    stepped["component"],
-                    F.coalesce(F.col("c_comp"), stepped["component"]),
+                    F.col("component"),
+                    F.coalesce(F.col("c_comp"), F.col("component")),
                 ).alias("component"),
             )
             .localCheckpoint()  # truncate lineage every round
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
+            new_labels.repartition(width, "node").alias("n")
+            .join(labels.repartition(width, "node").alias("o"), "node")
             .filter(F.col("n.component") != F.col("o.component"))
             .limit(1).count()
         )
         labels = new_labels
         if changed == 0:
             break
-    sym.unpersist()
     return labels
 
 

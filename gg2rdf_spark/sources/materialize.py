@@ -107,12 +107,24 @@ def materialize(
             manifest_path
         )
         # schema sidecar: lets read_triples serve a fully-emptied sink
-        # (all buckets deleted -> no parquet footers left to infer from)
+        # (all buckets deleted -> no parquet footers left to infer
+        # from).  Rewritten on EVERY materialize (round-4 ADVICE: a
+        # batch sink later written with batch_run gains a partition
+        # column a first-write-only sidecar would lack; pre-sidecar
+        # sinks heal on their next write), and normalized to the
+        # READ-BACK column order — data columns in frame order, then
+        # partition columns in partitionBy order, which is where
+        # parquet partition discovery appends them (df.schema puts
+        # conv_bucket/batch_run wherever withColumn left them).
+        read_back = [f for f in df.schema.fields
+                     if f.name not in part_cols]
+        read_back += [df.schema[c] for c in part_cols]
+        from pyspark.sql.types import StructType
+
         sp = os.path.join(path, "_schema.json")
-        if not os.path.exists(sp):
-            with open(sp + ".tmp", "w") as f:
-                f.write(df.schema.json())
-            os.replace(sp + ".tmp", sp)
+        with open(sp + ".tmp", "w") as f:
+            f.write(StructType(read_back).json())
+        os.replace(sp + ".tmp", sp)
     return {
         "run_id": run_id,
         "written_buckets": len(counters),
@@ -186,13 +198,13 @@ def delete_conversations(
     # hold the swap lock for the whole journal->swap->cleanup window so
     # a reader's roll-forward (read_triples -> recover_pending_swap)
     # can never interleave renames with this live swap
-    _acquire_swap_lock(path)
+    token = _acquire_swap_lock(path)
     try:
         _write_journal(path, {"tmp": tmp, "trash": trash,
                               "buckets": [int(b) for b in buckets]})
         _apply_swap(path, tmp, trash, buckets)
     finally:
-        _release_swap_lock(path)
+        _release_swap_lock(path, token)
     n_after = _read_data(spark, path).filter(
         F.col("conv_bucket").isin(buckets)
     ).count()
@@ -214,29 +226,46 @@ def _lock_path(path: str) -> str:
 
 
 def _acquire_swap_lock(path: str, timeout: float = 60.0,
-                       stale_s: float = 300.0) -> bool:
+                       stale_s: float = 300.0) -> str:
     """O_EXCL lock serializing swap application across PROCESSES.
+    Returns an ownership token the caller must pass to
+    :func:`_release_swap_lock`.
 
     delete_conversations holds it for the whole journal->swap->cleanup
     window; a reader that finds a journal (crashed writer) takes it
     before rolling forward.  Without it, a reader-initiated recovery
     racing a live writer could interleave R1/R2 renames and move NEW
-    data into trash (worse than the crash being recovered from).  A
-    lock whose mtime is older than ``stale_s`` belongs to a crashed
-    holder and is broken; the journal protocol makes a re-applied swap
-    idempotent, so breaking is safe."""
+    data into trash (worse than the crash being recovered from).
+
+    Stale break (round-4 ADVICE): a lock whose mtime is older than
+    ``stale_s`` belongs to a crashed holder.  Breaking it by plain
+    ``os.remove`` has a TOCTOU hole — between stat and remove the
+    stale holder could release and a FRESH lock appear, which the
+    remove would then delete, letting two writers in.  Instead the
+    breaker ``os.rename``s the lock aside to a name unique to itself:
+    rename is atomic, so exactly one breaker wins (losers get ENOENT
+    and re-contend), and a fresh lock created in the window simply
+    makes the rename move THAT file aside — its holder then fails the
+    ownership check on release, which is safe (release becomes a
+    no-op; the journal protocol makes a re-applied swap idempotent)."""
     lp = _lock_path(path)
+    token = f"{os.getpid()}-{os.urandom(8).hex()}"
     deadline = time.time() + timeout
     while True:
         try:
             fd = os.open(lp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode())
+            os.write(fd, token.encode())
             os.close(fd)
-            return True
+            return token
         except FileExistsError:
             try:
                 if time.time() - os.stat(lp).st_mtime > stale_s:
-                    os.remove(lp)
+                    broken = f"{lp}.stale-{token}"
+                    try:
+                        os.rename(lp, broken)  # atomic: one breaker wins
+                        os.remove(broken)
+                    except FileNotFoundError:
+                        pass  # another breaker won; re-contend
                     continue
             except FileNotFoundError:
                 continue  # holder released between open and stat
@@ -245,11 +274,18 @@ def _acquire_swap_lock(path: str, timeout: float = 60.0,
             time.sleep(0.05)
 
 
-def _release_swap_lock(path: str) -> None:
+def _release_swap_lock(path: str, token: str) -> None:
+    """Remove the lock only if WE still own it (round-4 ADVICE: a
+    holder whose lock was broken as stale must not delete its
+    successor's lock on exit)."""
+    lp = _lock_path(path)
     try:
-        os.remove(_lock_path(path))
+        with open(lp) as f:
+            if f.read() != token:
+                return  # broken as stale; a successor owns the file now
+        os.remove(lp)
     except FileNotFoundError:
-        pass  # broken as stale by a peer; its holder may have crashed
+        pass  # broken as stale and already cleaned up
 
 
 def _write_journal(path: str, payload: dict) -> None:
@@ -326,7 +362,7 @@ def recover_pending_swap(path: str, gc_stale: bool = False) -> bool:
     # serialize with any live writer: a journal may exist for the whole
     # _apply_swap window of an IN-PROGRESS delete, not only after a
     # crash — rolling forward concurrently would race its renames
-    _acquire_swap_lock(path)
+    token = _acquire_swap_lock(path)
     try:
         if not os.path.exists(jp):
             return False  # the writer finished while we waited
@@ -336,7 +372,7 @@ def recover_pending_swap(path: str, gc_stale: bool = False) -> bool:
         shutil.rmtree(j["trash"], ignore_errors=True)
         shutil.rmtree(j["tmp"], ignore_errors=True)
     finally:
-        _release_swap_lock(path)
+        _release_swap_lock(path, token)
     return True
 
 

@@ -231,6 +231,20 @@ class TestCanonicalize:
         assert comp["d"] == comp["e"] == "d"
         assert comp["x"] == comp["y"] == "x"
 
+    def test_cc_leaves_session_conf_untouched(self, spark):
+        # round-4 ADVICE: the loop used to scope its data-sized shuffle
+        # width via the session-global spark.sql.shuffle.partitions,
+        # racing concurrently-built plans (eager-cache waves submit
+        # from a thread pool).  Widths are now explicit repartitions;
+        # the session conf must never change, even transiently.
+        from gg2rdf_spark.operators.canonicalize import connected_components
+
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        edges = spark.createDataFrame(
+            [("b", "a"), ("c", "b"), ("e", "d")], "src string, dst string")
+        connected_components(edges).collect()
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
     def test_canonical_triples_rewrite(self, spark):
         from gg2rdf_spark.operators.canonicalize import (
             canonical_triples, connected_components,
@@ -351,6 +365,66 @@ class TestDelete:
         # a fresh delete against the emptied sink is also a no-op
         stats2 = delete_conversations(spark, path, ["c0"], n_buckets=4)
         assert stats2["triples_removed"] == 0
+
+    def test_sidecar_refreshes_and_matches_read_back_shape(
+        self, spark, tmp_path
+    ):
+        """Round-4 ADVICE: the _schema.json sidecar was written only on
+        the FIRST materialize and in ``df.schema`` column order — for
+        a streaming (batch_run) sink that order puts batch_run LAST
+        while parquet partition discovery appends partition cols in
+        partitionBy order (batch_run, conv_bucket), so the empty-frame
+        fallback served a different column order than live reads.  The
+        sidecar is now rewritten on every materialize and normalized
+        to read-back order."""
+        import json
+
+        from gg2rdf_spark.sources import materialize as M
+
+        t = spark.createDataFrame(
+            [(f"c{i}", 2, 0, f"<s{i}>", "a", "<k>", 0) for i in range(6)],
+            "conv_id string, block int, subj_ord long, subj string, "
+            "pred string, obj string, obj_ord long",
+        )
+        # streaming sink: sidecar column order must equal the order a
+        # live parquet read serves (data cols, then batch_run,
+        # conv_bucket — NOT df.schema's [..., conv_bucket, batch_run])
+        path = str(tmp_path / "stream_sink")
+        M.materialize(t, path, n_buckets=4, batch_run="batch-0001")
+        live_cols = M.read_triples(spark, path).columns
+        with open(f"{path}/_schema.json") as f:
+            sidecar_cols = [x["name"] for x in json.load(f)["fields"]]
+        assert sidecar_cols == live_cols
+        assert sidecar_cols[-2:] == ["batch_run", "conv_bucket"]
+        # sidecar refreshes on every write (not just the first)
+        before = json.dumps(sidecar_cols)
+        M.materialize(t, path, n_buckets=4, resume=False,
+                      batch_run="batch-0002")
+        with open(f"{path}/_schema.json") as f:
+            assert [x["name"] for x in json.load(f)["fields"]] \
+                == json.loads(before)  # same shape, rewritten in place
+
+    def test_swap_lock_release_verifies_ownership(self, tmp_path):
+        """Round-4 ADVICE: a holder whose lock was broken as stale must
+        not delete its successor's lock on exit, and stale break must
+        be rename-unique (one breaker wins)."""
+        import os
+
+        from gg2rdf_spark.sources import materialize as M
+
+        path = str(tmp_path)
+        tok = M._acquire_swap_lock(path)
+        lp = M._lock_path(path)
+        # simulate the lock going stale and a successor breaking it
+        os.utime(lp, (1, 1))
+        tok2 = M._acquire_swap_lock(path, stale_s=300.0)
+        assert tok2 != tok and os.path.exists(lp)
+        # original holder releases: must NOT remove the successor's lock
+        M._release_swap_lock(path, tok)
+        assert os.path.exists(lp)
+        # successor's release removes its own lock
+        M._release_swap_lock(path, tok2)
+        assert not os.path.exists(lp)
 
     def test_delete_crash_before_swap_keeps_sink_readable(
         self, spark, tmp_path
