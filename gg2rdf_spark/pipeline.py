@@ -44,19 +44,30 @@ class KGPipeline:
     def __init__(self, transcripts: DataFrame, cache: bool = True,
                  eager: bool | None = None):
         if eager is None:
-            # default ON (spark.gg2rdf.eagerCache=false to opt out).
-            # Round-4 event-log profile of the 400k-conv corpus on
-            # local-cluster[4,4]: with lazy caches the broadcast
-            # sub-jobs' duplicated lineage recomputation inflated total
-            # task time to ~4650 core-s vs ~1400 core-s of actual work
-            # (16 cores 100% busy for 290 s, zero GC/spill/fetch-wait)
-            # — the entire N->4N "scaling collapse" was duplicated
-            # work, growing with BOTH corpus size and parallelism.
-            eager = (
-                transcripts.sparkSession.conf.get(
-                    "spark.gg2rdf.eagerCache", "true"
-                ).lower() == "true"
-            )
+            # spark.gg2rdf.eagerCache: "true" / "false" force it;
+            # default "auto" enables it only when the input clears
+            # spark.gg2rdf.eagerCacheMinRows (default 100k turns).
+            # Rationale for ON at scale (round-3/4 event-log profiles,
+            # 200k-400k-conv corpora): with lazy caches the ~24
+            # broadcast sub-jobs of the triples plan race to recompute
+            # the SAME upstream lineage — ~4650 core-s of task time for
+            # ~1400 core-s of work at 400k convs on local-cluster[4,4],
+            # growing with BOTH corpus size and parallelism (it was the
+            # entire N->4N "scaling collapse").  Rationale for OFF at
+            # toy scale (round-4 VERDICT): the wave counts are serial
+            # actions before the output action — pure overhead when the
+            # lineage they'd deduplicate runs in seconds (sf0.1 = 25k
+            # turns; the 200k-conv scaling corpus = 1M turns).  The
+            # count deciding "auto" is cheap on the parquet-backed
+            # inputs every at-scale caller reads (metadata count).
+            conf = transcripts.sparkSession.conf
+            mode = conf.get("spark.gg2rdf.eagerCache", "auto").lower()
+            if mode in ("true", "false"):
+                eager = mode == "true"
+            else:
+                min_rows = int(conf.get(
+                    "spark.gg2rdf.eagerCacheMinRows", "100000"))
+                eager = transcripts.count() >= min_rows
         self.transcripts = transcripts
         self.mentions = E.parse_mentions(transcripts)
         if cache:

@@ -167,7 +167,14 @@ def main() -> None:
     s4N = min(r["sec"] for r in runs4N)
     triples = runsN[-1]["triples"]
     speedup = sN / s4N
-    eff = max(pairs)
+    # headline = MEDIAN pair efficiency (round-4 VERDICT/ADVICE): under
+    # the box's documented tens-of-percent drift, max-of-pairs is
+    # upward-biased by construction — it would eventually print >=0.8
+    # on noise alone.  The median of interleaved pairs is
+    # drift-robust; the max is kept, labeled as what it is.
+    import statistics
+
+    eff = round(statistics.median(pairs), 3)
     result = {
         "n_convs": n_convs, "triples": triples,
         f"N_{n_small}x4": {
@@ -179,6 +186,14 @@ def main() -> None:
         "speedup_N_to_4N": round(speedup, 3),
         "pair_efficiencies": pairs,
         "scaling_efficiency": eff,
+        "scaling_efficiency_estimator": f"median of {len(pairs)} pairs",
+        "best_pair_efficiency": max(pairs),
+        "corpus_path": tr_path,
+        "corpus_spec": (
+            f"transcripts_sql('(SELECT id AS doc_id FROM "
+            f"range({n_convs}))', dialect='spark') -> repartition(128) "
+            f"-> zstd parquet (seed-free deterministic SQL)"
+        ),
     }
     with open(out_json, "w") as f:
         json.dump(result, f, indent=2)
@@ -197,7 +212,8 @@ def main() -> None:
 Speedup {round(speedup, 2)}x over {factor:g}x executors; per-pair
 efficiencies {pairs} (N and 4N run back-to-back per pair so both see
 the same box conditions — the box's absolute throughput drifts across
-hours) -> **scaling efficiency {eff}** (best pair; target >=0.8).
+hours) -> **scaling efficiency {eff}** (MEDIAN of {len(pairs)} pairs —
+drift-robust; best pair {max(pairs)}; target >=0.8).
 Per-executor resources
 identical at both levels ({cores_per} cores, {mem_mb}m) — the cluster-scaling contract
 the single-JVM local[N] proxy cannot represent (one shared heap/GC for
@@ -205,6 +221,10 @@ all threads).  Corpus: {triples} triples from {n_convs} conversations;
 {trials} interleaved [N, 4N] pair(s), fresh cluster + JIT warm-up per run,
 eager stage-cache materialization, executor JVMs pinned to
 -XX:ActiveProcessorCount={cores_per}.
+Corpus parquet: `{tr_path}` — regenerate bit-for-bit with
+`synthsql.transcripts_sql("(SELECT id AS doc_id FROM
+range({n_convs}))", dialect="spark")` → `repartition(128)` → zstd
+parquet (pure SQL over `range()`; seed-free deterministic).
 """
     from benchmd import replace_section
 
