@@ -127,6 +127,13 @@ warm = spark.sql(transcripts_sql(
 KGPipeline(warm).triples().count()
 spark.catalog.clearCache()
 control_probe()  # throwaway: JIT-warm the probe's own codegen path
+# let each executor JVM drain its C2 compile backlog while idle: the
+# warm-up enqueues thousands of compilations and a 1-core executor's
+# compiler thread shares the task core, so probing (or timing)
+# immediately after warm-up measures compile interference, not box
+# speed (first 1-core campaign leg: before-probe min-of-3 5.02 s vs
+# after-probe 3.23 s, sustained across all three samples)
+time.sleep(60)
 
 execs_start = live_executors()
 transcripts = spark.read.parquet(tr_path)
