@@ -75,6 +75,27 @@ def connected_components(
         sym_b.unpersist()
 
 
+def _label_checksum(labels: DataFrame):
+    """Order-insensitive fingerprint of the (node, component) frame.
+
+    Convergence detection: labels only ever DECREASE (least/min), so
+    the assignment changed between rounds iff the multiset of pairs
+    changed — compared via one cheap agg job over the checkpointed
+    frame (sum of per-row xxhash64) instead of the previous
+    join-new-against-old + count, which cost two repartition
+    exchanges and a join per round.  A sum collision would need two
+    different label states to cancel exactly in a 64-bit sum —
+    negligible, and the failure mode is one early loop exit on a
+    frame the caller still sees as (node, component)."""
+    return labels.agg(
+        # decimal sum: a long sum overflows under ANSI mode (Spark 4
+        # default) once a few rows' hashes share a sign
+        F.sum(F.xxhash64("node", "component").cast("decimal(38,0)"))
+        .alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+
+
 def _cc_loop(sym_b: DataFrame, max_iter: int, width: int) -> DataFrame:
     labels = (
         sym_b.select(F.col("a").alias("node"))
@@ -83,6 +104,7 @@ def _cc_loop(sym_b: DataFrame, max_iter: int, width: int) -> DataFrame:
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
+    prev = _label_checksum(labels)
     for _ in range(max_iter):
         # neighbor-min step: label(v) ← min over neighbors u of label(u)
         nbr = (
@@ -105,6 +127,11 @@ def _cc_loop(sym_b: DataFrame, max_iter: int, width: int) -> DataFrame:
                     F.coalesce(F.col("nbr_min"), F.col("component")),
                 ).alias("component"),
             )
+            # feeds BOTH sides of the pointer-jump self-join below;
+            # unpersisted, the neighbor-min lineage runs twice per
+            # round (once per join side — they shuffle in separate
+            # stages of the same checkpoint job)
+            .persist()
         )
         # pointer-jump (path halving): label(v) ← label(label(v)) —
         # turns O(diameter) convergence into O(log diameter) (a chain
@@ -126,15 +153,12 @@ def _cc_loop(sym_b: DataFrame, max_iter: int, width: int) -> DataFrame:
             )
             .localCheckpoint()  # truncate lineage every round
         )
-        changed = (
-            new_labels.repartition(width, "node").alias("n")
-            .join(labels.repartition(width, "node").alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1).count()
-        )
+        stepped.unpersist()
+        cur = _label_checksum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if cur == prev:
             break
+        prev = cur
     return labels
 
 

@@ -231,6 +231,23 @@ class TestCanonicalize:
         assert comp["d"] == comp["e"] == "d"
         assert comp["x"] == comp["y"] == "x"
 
+    def test_cc_long_chain_converges(self, spark):
+        # 60-node chain: pointer-jumping must converge well under
+        # max_iter, and the checksum-based fixpoint exit (round 5 —
+        # replaces the per-round join-and-count) must not exit early
+        # while labels are still moving
+        from gg2rdf_spark.operators.canonicalize import connected_components
+
+        n = 60
+        edges = spark.createDataFrame(
+            [(f"n{i:03d}", f"n{i - 1:03d}") for i in range(1, n)],
+            "src string, dst string",
+        )
+        comp = {r.node: r.component
+                for r in connected_components(edges).collect()}
+        assert len(comp) == n
+        assert set(comp.values()) == {"n000"}
+
     def test_cc_leaves_session_conf_untouched(self, spark):
         # round-4 ADVICE: the loop used to scope its data-sized shuffle
         # width via the session-global spark.sql.shuffle.partitions,
