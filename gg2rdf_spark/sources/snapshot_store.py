@@ -148,6 +148,7 @@ def _data_schema(df: DataFrame) -> str:
 def commit_append(
     triples: DataFrame, root: str, n_buckets: int = 32,
     run_id: str | None = None, retries: int = 10,
+    max_run_history: int = 10_000,
 ) -> dict:
     """Append triples as a new snapshot; idempotent under replay.
 
@@ -156,6 +157,12 @@ def commit_append(
     schedulers, ≙ materialize()'s manifest anti-join).  Publish
     conflicts are retried against the re-read state — appends commute,
     so the already-written data files are reused verbatim.
+
+    The lineage carried in each manifest is bounded to the newest
+    ``max_run_history`` run_ids so manifests stay small at any commit
+    count; replay detection is therefore guaranteed within that window
+    — the standard shape of a bounded idempotence horizon (schedulers
+    replay recent work, not work 10k commits old).
     """
     spark = triples.sparkSession
     run_id = run_id or f"run-{int(time.time() * 1000)}"
@@ -190,7 +197,7 @@ def commit_append(
             "version": cur["version"] + 1, "op": "append",
             "parent": cur["version"] or None, "schema": schema,
             "buckets": buckets,
-            "run_ids": cur["run_ids"] + [run_id],
+            "run_ids": (cur["run_ids"] + [run_id])[-max_run_history:],
             "counters": counters,
         }
         if _publish(root, man):
