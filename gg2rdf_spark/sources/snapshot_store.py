@@ -170,6 +170,17 @@ def commit_append(
     if run_id in cur["run_ids"]:
         return {"run_id": run_id, "version": cur["version"],
                 "skipped": True, "n_triples": 0}
+    # the bucket function is a TABLE property, not a call-site choice:
+    # rows are placed by pmod(hash(conv_id), n_buckets) at append time,
+    # and delete_conversations prunes buckets by re-deriving that hash —
+    # a different n later would silently prune the WRONG buckets and
+    # leave deleted rows alive.  First append fixes it; later appends
+    # must match (Iceberg: bucket(N, col) is part of the partition spec).
+    stored = cur.get("n_buckets")
+    if stored is not None and stored != n_buckets:
+        raise ValueError(
+            f"table at {root} is bucketed with n_buckets={stored}; "
+            f"append requested {n_buckets} — bucket pruning would break")
 
     df = with_bucket(triples, n_buckets)
     counters = {
@@ -190,12 +201,21 @@ def commit_append(
         if run_id in cur["run_ids"]:  # a concurrent replay beat us
             return {"run_id": run_id, "version": cur["version"],
                     "skipped": True, "n_triples": 0}
+        if cur.get("n_buckets") not in (None, n_buckets):
+            # a concurrent first-append won the race with a different
+            # bucket spec; our staged files are mis-bucketed for this
+            # table — abandon them to vacuum rather than commit them
+            raise ValueError(
+                f"table at {root} is bucketed with "
+                f"n_buckets={cur.get('n_buckets')}; append requested "
+                f"{n_buckets} — bucket pruning would break")
         buckets = {b: list(dirs) for b, dirs in cur["buckets"].items()}
         for b, d in new_dirs.items():
             buckets.setdefault(b, []).append(d)
         man = {
             "version": cur["version"] + 1, "op": "append",
             "parent": cur["version"] or None, "schema": schema,
+            "n_buckets": n_buckets,
             "buckets": buckets,
             "run_ids": (cur["run_ids"] + [run_id])[-max_run_history:],
             "counters": counters,
@@ -260,15 +280,25 @@ def _target_buckets(spark: SparkSession, conv_ids: list[str],
 
 def delete_conversations(
     spark: SparkSession, root: str, conv_ids: list[str],
-    n_buckets: int = 32, retries: int = 5,
+    n_buckets: int | None = None, retries: int = 5,
 ) -> dict:
     """Remove conversations by committing a snapshot whose affected
     buckets point at freshly-written survivor files.  Unaffected
     buckets' entries are carried over untouched (their data is never
     read, listed, or rewritten).  A publish conflict re-reads state
     and redoes the rewrite — correctness over cleverness; the orphaned
-    attempt is vacuum()'s problem."""
-    targets = _target_buckets(spark, conv_ids, n_buckets)
+    attempt is vacuum()'s problem.
+
+    ``n_buckets`` is read from the table manifest (it is a table
+    property fixed at first append); passing a conflicting explicit
+    value raises rather than silently pruning the wrong buckets."""
+    stored = _load_current(root).get("n_buckets")
+    if n_buckets is not None and stored is not None and n_buckets != stored:
+        raise ValueError(
+            f"table at {root} is bucketed with n_buckets={stored}; "
+            f"delete requested {n_buckets} — bucket pruning would break")
+    nb = stored if stored is not None else (n_buckets or 32)
+    targets = _target_buckets(spark, conv_ids, nb)
     for _ in range(retries):
         cur = _load_current(root)
         affected = [b for b in targets if b in cur["buckets"]]
@@ -296,6 +326,7 @@ def delete_conversations(
         man = {
             "version": cur["version"] + 1, "op": "delete",
             "parent": cur["version"], "schema": cur["schema"],
+            "n_buckets": cur.get("n_buckets"),
             "buckets": buckets, "run_ids": cur["run_ids"],
             "counters": {},
         }
@@ -326,6 +357,7 @@ def compact(spark: SparkSession, root: str, min_dirs: int = 2,
         man = {
             "version": cur["version"] + 1, "op": "compact",
             "parent": cur["version"], "schema": cur["schema"],
+            "n_buckets": cur.get("n_buckets"),
             "buckets": buckets, "run_ids": cur["run_ids"],
             "counters": {},
         }

@@ -163,6 +163,28 @@ class TestSnapshotStore:
             ss.with_bucket(garbage, 4), root, "deadbeef-garbage")
         assert ss.read_triples(spark, root).count() == 100
 
+    def test_bucket_spec_is_a_table_property(self, spark, tmp_path):
+        """n_buckets is fixed at first append and recorded in the
+        manifest: a later call with a different value must raise, not
+        silently prune the wrong buckets (rows placed by
+        pmod(hash, 8) are invisible to pruning computed with 4 — a
+        mismatched delete would leave 'deleted' rows alive)."""
+        from pyspark.sql import functions as F
+
+        root = str(tmp_path / "st")
+        t = _triples(spark, n=120)
+        ss.commit_append(t, root, n_buckets=8)
+        with pytest.raises(ValueError, match="bucket pruning"):
+            ss.commit_append(_triples(spark, tag="b"), root, n_buckets=4)
+        with pytest.raises(ValueError, match="bucket pruning"):
+            ss.delete_conversations(spark, root, ["c3"], n_buckets=4)
+        # omitting n_buckets uses the table's own spec
+        ss.delete_conversations(spark, root, ["c3"])
+        left = ss.read_triples(spark, root)
+        assert left.filter(F.col("conv_id") == "c3").count() == 0
+        # the property survives non-append commits (delete carries it)
+        assert ss._load_current(root)["n_buckets"] == 8
+
     def test_manifest_content_published_atomically(self, spark, tmp_path):
         """The published snapshot file is complete, parseable JSON with
         the full schema (the link-after-fsync publish contract)."""
