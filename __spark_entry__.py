@@ -500,7 +500,7 @@ def _q_materialize_delete(spark, sf_dir):
     # as doubled counts against the oracle)
     stats = materialize(triples, path, n_buckets=16)
     assert stats["written_buckets"] == 0, stats
-    delete_conversations(spark, path, _MAT_DELETE_CONVS, n_buckets=16)
+    delete_conversations(spark, path, _MAT_DELETE_CONVS)
     return (
         read_triples(spark, path)
         .groupBy("conv_id")

@@ -135,12 +135,17 @@ def materialize(
 
 def delete_conversations(
     spark: SparkSession, path: str, conv_ids: list[str],
-    n_buckets: int = 32,
 ) -> dict:
     """A5 analog — the reference deletes the .ttl of a removed .xml
     (/root/reference/src/action_worker.ts:179-190).  Here: rewrite only
     the buckets containing the removed conversations (dynamic partition
     overwrite touches nothing else) and record a tombstone manifest row.
+
+    No bucket-count parameter: the affected buckets are derived from
+    the DATA (scan for the conv_ids' own conv_bucket values), so this
+    works for any bucketing the sink was written with — unlike
+    hash-re-derivation, which breaks silently on a mismatched count
+    (see snapshot_store, which pins n_buckets in its manifest instead).
 
     Crash safety (round-2 ADVICE): the bucket swap is JOURNALED.  Kept
     rows are staged into ``_rewrite-*``; a ``_swap-journal.json`` is

@@ -348,8 +348,7 @@ class TestDelete:
         path = str(tmp_path / "sink")
         materialize(t, path, n_buckets=4)
         assert read_triples(spark, path).count() == 30
-        stats = delete_conversations(spark, path, ["c1", "c2", "c3"],
-                                     n_buckets=4)
+        stats = delete_conversations(spark, path, ["c1", "c2", "c3"])
         assert stats["triples_removed"] == 3
         left = read_triples(spark, path)
         assert left.count() == 27
@@ -374,13 +373,13 @@ class TestDelete:
         path = str(tmp_path / "sink")
         materialize(t, path, n_buckets=4)
         stats = delete_conversations(
-            spark, path, [f"c{i}" for i in range(6)], n_buckets=4)
+            spark, path, [f"c{i}" for i in range(6)])
         assert stats["triples_removed"] == 6
         left = read_triples(spark, path)
         assert left.count() == 0
         assert "conv_id" in left.columns and "conv_bucket" in left.columns
         # a fresh delete against the emptied sink is also a no-op
-        stats2 = delete_conversations(spark, path, ["c0"], n_buckets=4)
+        stats2 = delete_conversations(spark, path, ["c0"])
         assert stats2["triples_removed"] == 0
 
     def test_sidecar_refreshes_and_matches_read_back_shape(
@@ -466,13 +465,13 @@ class TestDelete:
         M._fail_injector = boom
         try:
             with pytest.raises(RuntimeError, match="injected"):
-                M.delete_conversations(spark, path, ["c5"], n_buckets=4)
+                M.delete_conversations(spark, path, ["c5"])
         finally:
             M._fail_injector = None
         # sink unchanged and fully readable after the crash
         assert M.read_triples(spark, path).count() == 20
         # retry succeeds (resumable)
-        stats = M.delete_conversations(spark, path, ["c5"], n_buckets=4)
+        stats = M.delete_conversations(spark, path, ["c5"])
         assert stats["triples_removed"] == 1
         assert M.read_triples(spark, path).count() == 19
 
@@ -504,7 +503,7 @@ class TestDelete:
         M._swap_fail_injector = boom
         try:
             with pytest.raises(RuntimeError, match="mid-swap"):
-                M.delete_conversations(spark, path, ["c5"], n_buckets=4)
+                M.delete_conversations(spark, path, ["c5"])
         finally:
             M._swap_fail_injector = None
         assert calls  # the injector actually fired post-R1
@@ -521,7 +520,7 @@ class TestDelete:
         assert left.filter("conv_id = 'c5'").count() == 0
         assert dict(left.dtypes)["conv_bucket"] == "int"
         # idempotent: another delete of the same id is a no-op
-        stats = M.delete_conversations(spark, path, ["c5"], n_buckets=4)
+        stats = M.delete_conversations(spark, path, ["c5"])
         assert stats["triples_removed"] == 0
 
     def test_streaming_batch_replay_idempotent(self, spark, tmp_path):
