@@ -112,6 +112,24 @@ def steal_jiffies():
     # cpu user nice system idle iowait irq softirq steal ...
     return int(parts[8]), sum(int(x) for x in parts[1:9])
 
+def bw_probe():
+    # single-stream DRAM-bandwidth probe (GB/s, best of 3 copies of a
+    # 512 MB buffer).  The xxhash control probe is cache-resident and
+    # /proc/stat steal counts stolen CPU, so NEITHER sees a co-tenant
+    # saturating the shared memory controllers — a pressure source
+    # that taxes the 4-concurrent-JVM leg disproportionately (4
+    # streams need 4x the bandwidth of the N leg's 1).  Recorded, not
+    # gated: pairs are conditioned on it post-hoc.
+    import numpy as np
+    a = np.ones(64_000_000, dtype=np.float64)
+    b = np.empty_like(a)
+    best = 0.0
+    for _ in range(3):
+        t = time.time()
+        np.copyto(b, a)
+        best = max(best, 2 * a.nbytes / max(time.time() - t, 1e-9) / 1e9)
+    return round(best, 1)
+
 deadline = time.time() + 120
 while live_executors() < n_exec and time.time() < deadline:
     time.sleep(1)
@@ -138,16 +156,19 @@ time.sleep(60)
 execs_start = live_executors()
 transcripts = spark.read.parquet(tr_path)
 ctl_before = control_probe()
+bw_before = bw_probe()
 st0, tot0 = steal_jiffies()
 t0 = time.time()
 n = KGPipeline(transcripts).triples().count()
 sec = round(time.time() - t0, 3)
 st1, tot1 = steal_jiffies()
+bw_after = bw_probe()
 ctl_after = control_probe()
 print("RESULT " + json.dumps(
     {"executors": n_exec, "cores": cores, "sec": sec, "triples": n,
      "execs_start": execs_start, "execs_end": live_executors(),
      "control_before": ctl_before, "control_after": ctl_after,
+     "bw_before_gbps": bw_before, "bw_after_gbps": bw_after,
      "steal_frac": round((st1 - st0) / max(tot1 - tot0, 1), 4),
      "t0_ms": int(t0 * 1000), "t1_ms": int((t0 + sec) * 1000),
      "app_id": spark.sparkContext.applicationId}))
@@ -319,7 +340,9 @@ def main() -> None:
         pairs.append(round(a["sec"] / b["sec"] / factor, 3))
         print(f"PAIR {pairs[-1]} N={a['sec']} 4N={b['sec']} "
               f"controls {ctl_a:.2f}/{ctl_b:.2f} "
-              f"steal {a['steal_frac']}/{b['steal_frac']}", flush=True)
+              f"steal {a['steal_frac']}/{b['steal_frac']} "
+              f"bw {a.get('bw_before_gbps')}/{b.get('bw_before_gbps')}",
+              flush=True)
 
     sN = min(r["sec"] for r in runsN)
     s4N = min(r["sec"] for r in runs4N)
