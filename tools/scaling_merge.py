@@ -1,14 +1,34 @@
 """Merge scaling_cluster.py campaign JSONs into one pair list + robust
-statistics.
+statistics, and optionally regenerate the BENCH.md section from the
+combined record.
 
 Campaigns are collected in separate invocations (the box's quiet
 windows are scattered across hours); the north-rule headline must be a
 robust statistic over ALL gated pairs, not whichever single campaign
-looked best.  This tool concatenates the per-pair efficiencies of
-every input file, recomputes median / min / max / count, carries the
-discard lists through, and (with -o) writes the combined record.
+looked best.  This tool concatenates the per-pair efficiencies AND the
+full per-run records of every input file, recomputes median / min /
+max / count, carries the discard lists through, and (with -o) writes
+the combined record in the same schema scaling_cluster.py emits — so
+the combined file is a drop-in campaign record whose provenance
+(every run, every discard, per-campaign pair lists) is auditable.
 
-Usage: python tools/scaling_merge.py a.json b.json [...] [-o out.json]
+Usage: python tools/scaling_merge.py a.json b.json [...]
+           [-o out.json] [--bench-section] [--regate]
+
+--regate re-applies the CURRENT gate set (within-run control drift
+<=1.4x, kernel steal_frac <=0.01 per leg, cross-leg control ratio
+<=1.4x, exact executor counts) to every input pair — campaigns
+collected before a gate existed recorded the same probes but did not
+enforce all of them, so pooling their pairs with gated ones would mix
+two selection rules.  Re-gating makes the pool gate-homogeneous;
+every pair it drops is recorded in discarded_runs with a 'regate:'
+reason, same as a live discard.
+
+--bench-section rewrites the 'FINAL' BENCH.md section for the merged
+configuration via tools/benchmd.replace_section, using the same
+template as scaling_cluster.py plus a sentence stating how many
+campaign invocations the pairs came from.  Inputs must share n_convs,
+corpus spec, executor counts and cores-per-executor (verified).
 """
 
 import json
@@ -16,54 +36,236 @@ import statistics
 import sys
 
 
-def merge(paths: list[str]) -> dict:
+def _level_keys(d: dict) -> tuple[str, str]:
+    """The two per-level keys, e.g. ('N_1x4', '4N_4x4')."""
+    ks = [k for k in d if isinstance(d.get(k), dict) and "runs" in d[k]]
+    if len(ks) != 2:
+        raise SystemExit(f"expected 2 level keys, found {ks}")
+    small = next(k for k in ks if k.startswith("N_"))
+    big = next(k for k in ks if k != small)
+    return small, big
+
+
+def _leg_gate_reason(r: dict, max_steal: float = 0.01,
+                     drift: float = 1.4) -> str | None:
+    """The same per-leg validity rules scaling_cluster.measure_valid
+    enforces live, re-derivable from the recorded probes."""
+    if (r.get("execs_start") != r["executors"]
+            or r.get("execs_end") != r["executors"]):
+        return (f"executors start={r.get('execs_start')} "
+                f"end={r.get('execs_end')} != requested {r['executors']}")
+    ctl = sorted([r.get("control_before", 1.0), r.get("control_after", 1.0)])
+    if ctl[1] / max(ctl[0], 1e-9) > drift:
+        return f"box speed changed mid-run: control {ctl[0]} -> {ctl[1]}"
+    if r.get("steal_frac", 0.0) > max_steal:
+        return (f"sustained hypervisor steal during run: "
+                f"steal_frac {r['steal_frac']} > {max_steal}")
+    return None
+
+
+def _regate_file(d: dict, kN: str, k4N: str, path: str,
+                 discarded: list[dict]) -> tuple[list[float], list[dict],
+                                                 list[dict]]:
+    """Re-apply the full current gate set to a campaign's pairs.
+    Pairs are stored index-aligned (runsN[i] ran back-to-back with
+    runs4N[i]).  Returns (kept_pairs, kept_runsN, kept_runs4N) and
+    appends dropped runs to `discarded` with a 'regate:' reason."""
+    pairs, keptN, kept4N = [], [], []
+    runsN, runs4N = d[kN]["runs"], d[k4N]["runs"]
+    stored = d.get("pair_efficiencies", [])
+    for i, (a, b) in enumerate(zip(runsN, runs4N)):
+        leg_reasons = {id(a): _leg_gate_reason(a),
+                       id(b): _leg_gate_reason(b)}
+        reason = leg_reasons[id(a)] or leg_reasons[id(b)]
+        if reason is None:
+            ctl_a = (a.get("control_before", 1.0)
+                     + a.get("control_after", 1.0)) / 2
+            ctl_b = (b.get("control_before", 1.0)
+                     + b.get("control_after", 1.0)) / 2
+            if max(ctl_a, ctl_b) / max(min(ctl_a, ctl_b), 1e-9) > 1.4:
+                reason = (f"pair legs saw different box speeds: controls "
+                          f"{ctl_a:.2f}s vs {ctl_b:.2f}s")
+        if reason is None:
+            pairs.append(stored[i] if i < len(stored)
+                         else round(a["sec"] / b["sec"]
+                                    / (b["executors"] / a["executors"]), 3))
+            keptN.append(a)
+            kept4N.append(b)
+        else:
+            for r in (a, b):
+                own = leg_reasons[id(r)] or f"pair partner failed: {reason}"
+                rr = dict(r)
+                rr["discard_reason"] = f"regate({path}): {own}"
+                discarded.append(rr)
+    return pairs, keptN, kept4N
+
+
+def merge(paths: list[str], regate: bool = False) -> dict:
     pairs: list[float] = []
-    discards = 0
+    discarded: list[dict] = []
     per_file = {}
-    n_convs = None
+    base = None
+    kN = k4N = None
+    runsN: list[dict] = []
+    runs4N: list[dict] = []
     for p in paths:
         with open(p) as f:
             d = json.load(f)
-        pe = d.get("pair_efficiencies", [])
+        if base is None:
+            base = d
+            kN, k4N = _level_keys(d)
+        else:
+            for field in ("n_convs", "triples", "corpus_spec"):
+                if d.get(field) != base.get(field):
+                    raise SystemExit(
+                        f"refusing to merge different corpora/specs: "
+                        f"{field} {base.get(field)} vs {d.get(field)} ({p})")
+            if _level_keys(d) != (kN, k4N):
+                raise SystemExit(
+                    f"refusing to merge different topologies: "
+                    f"{_level_keys(d)} vs {(kN, k4N)} ({p})")
+        if regate:
+            pe, keptN, kept4N = _regate_file(d, kN, k4N, p, discarded)
+        else:
+            pe = d.get("pair_efficiencies", [])
+            keptN, kept4N = d[kN]["runs"], d[k4N]["runs"]
         pairs.extend(pe)
-        discards += len(d.get("discarded_runs", []))
+        runsN.extend(keptN)
+        runs4N.extend(kept4N)
+        discarded.extend(d.get("discarded_runs", []))
         per_file[p] = {"pairs": pe,
                        "estimator": d.get("scaling_efficiency_estimator")}
-        if n_convs is None:
-            n_convs = d.get("n_convs")
-        elif d.get("n_convs") != n_convs:
-            raise SystemExit(
-                f"refusing to merge different corpora: {n_convs} vs "
-                f"{d.get('n_convs')} ({p})")
     if not pairs:
         raise SystemExit("no pairs found")
+    for runs in (runsN, runs4N):
+        cfg = {(r["executors"], r["cores"]) for r in runs}
+        if len(cfg) != 1:
+            raise SystemExit(f"mixed executor configs in a level: {cfg}")
+    triples = base["triples"]
+    sN = min(r["sec"] for r in runsN)
+    s4N = min(r["sec"] for r in runs4N)
     return {
-        "n_convs": n_convs,
-        "campaigns": per_file,
-        "pair_efficiencies": sorted(pairs),
+        "n_convs": base["n_convs"],
+        "triples": triples,
+        kN: {"sec": sN, "triples_per_sec": round(triples / sN, 1),
+             "runs": runsN},
+        k4N: {"sec": s4N, "triples_per_sec": round(triples / s4N, 1),
+              "runs": runs4N},
+        "speedup_N_to_4N": round(sN / s4N, 3),
+        "pair_efficiencies": pairs,
         "scaling_efficiency": round(statistics.median(pairs), 3),
         "scaling_efficiency_estimator":
-            f"median of {len(pairs)} pairs across {len(paths)} campaigns",
+            f"median of {len(pairs)} pairs across {len(paths)} campaigns"
+            + (" (re-gated: current gate set applied uniformly)"
+               if regate else ""),
         "best_pair_efficiency": max(pairs),
         "worst_pair_efficiency": min(pairs),
-        "n_discarded_runs": discards,
+        "discarded_runs": discarded,
+        "campaigns": per_file,
+        "corpus_path": base.get("corpus_path"),
+        "corpus_spec": base.get("corpus_spec"),
     }
+
+
+def bench_section(result: dict, mem_mb: int) -> None:
+    """Rewrite the merged configuration's FINAL BENCH.md section using
+    the scaling_cluster.py template + a merged-campaigns sentence."""
+    kN, k4N = _level_keys(result)
+    runsN = result[kN]["runs"]
+    n_small = runsN[0]["executors"]
+    cores_per = runsN[0]["cores"] // n_small
+    n_big = result[k4N]["runs"][0]["executors"]
+    factor = n_big / n_small
+    n_convs = result["n_convs"]
+    triples = result["triples"]
+    sN, s4N = result[kN]["sec"], result[k4N]["sec"]
+    pairs = result["pair_efficiencies"]
+    eff = result["scaling_efficiency"]
+    discarded = result["discarded_runs"]
+    n_campaigns = len(result.get("campaigns", {})) or 1
+    tr_path = result.get("corpus_path")
+
+    header = (f"Scaling: {n_small} -> {n_big} executors x {cores_per} cores "
+              f"(local-cluster, real executor JVMs, {n_convs} convs, FINAL)")
+    md = f"""
+## {header}
+
+| level | best wall (s) | triples/sec |
+|---|---|---|
+| N = local-cluster[{n_small},{cores_per},{mem_mb}m] | {sN} | {round(triples / sN, 1)} |
+| {factor:g}N = local-cluster[{n_big},{cores_per},{mem_mb}m] | {s4N} | {round(triples / s4N, 1)} |
+
+Speedup {round(sN / s4N, 2)}x over {factor:g}x executors; per-pair
+efficiencies {pairs} (N and 4N run back-to-back per pair so both see
+the same box conditions — the box's absolute throughput drifts across
+hours) -> **scaling efficiency {eff}** (MEDIAN of {len(pairs)} pairs —
+drift-robust; best pair {max(pairs)}; target >=0.8).  Pairs pooled
+from {n_campaigns} invocations of the same gated protocol on the same
+corpus spec (quiet-box windows are scattered across hours, so
+campaigns are collected in sessions; per-campaign pair lists and every
+run/discard record are in the combined JSON).
+Per-executor resources
+identical at both levels ({cores_per} cores, {mem_mb}m) — the cluster-scaling contract
+the single-JVM local[N] proxy cannot represent (one shared heap/GC for
+all threads).  Corpus: {triples} triples from {n_convs} conversations;
+{len(pairs)} interleaved [N, 4N] pair(s), fresh cluster + JIT warm-up per run,
+eager stage-cache materialization, executor JVMs pinned to
+-XX:ActiveProcessorCount={cores_per}.  Every timed run verified to hold
+exactly the requested executor count start-to-end (a real cluster
+submission blocks on its requested containers, matched here with
+spark.scheduler.minRegisteredResourcesRatio=1.0) AND to have run at a
+consistent box speed: a fixed-plan single-stream JVM control probe
+brackets each measured section (pair kept only when all four probes
+agree within 40%) AND the kernel steal counter stays at the
+idle-neighbor floor (steal_frac <= 0.01; the box enters minutes-long
+hypervisor-steal windows — identical record counts with JVM CPU-time
+inflated ~4.5x, diagnosed from event logs).  {len(discarded)} invalid
+run(s) discarded AND recorded in the
+JSON — gating is symmetric, so it removes noise in both directions
+rather than selecting favorable trials.
+Corpus parquet: `{tr_path}` — regenerate bit-for-bit with
+`synthsql.transcripts_sql("(SELECT id AS doc_id FROM
+range({n_convs}))", dialect="spark")` → `repartition(128)` → zstd
+parquet (pure SQL over `range()`; seed-free deterministic).
+"""
+    from benchmd import replace_section
+
+    replace_section(header, md)
+    print(f"BENCH.md section rewritten: {header}")
 
 
 def main() -> None:
     args = sys.argv[1:]
     out = None
+    write_bench = False
+    mem_mb = 7168
+    if "--mem-mb" in args:
+        i = args.index("--mem-mb")
+        mem_mb = int(args[i + 1])
+        args = args[:i] + args[i + 2:]
+    if "--bench-section" in args:
+        write_bench = True
+        args.remove("--bench-section")
+    regate = False
+    if "--regate" in args:
+        regate = True
+        args.remove("--regate")
     if "-o" in args:
         i = args.index("-o")
         out = args[i + 1]
         args = args[:i] + args[i + 2:]
     if not args:
         raise SystemExit(__doc__)
-    result = merge(args)
-    print(json.dumps(result, indent=1))
+    result = merge(args, regate=regate)
+    print(json.dumps({k: v for k, v in result.items()
+                      if k not in ("discarded_runs",)}, indent=1,
+                     default=str)[:4000])
     if out:
         with open(out, "w") as f:
             json.dump(result, f, indent=1)
+    if write_bench:
+        sys.path.insert(0, "/root/repo/tools")
+        bench_section(result, mem_mb)
 
 
 if __name__ == "__main__":
