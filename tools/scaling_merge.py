@@ -184,6 +184,18 @@ def bench_section(result: dict, mem_mb: int) -> None:
     discarded = result["discarded_runs"]
     n_campaigns = len(result.get("campaigns", {})) or 1
     tr_path = result.get("corpus_path")
+    n_regated = sum(1 for d in discarded
+                    if str(d.get("discard_reason", "")).startswith("regate("))
+    regate_note = ""
+    if "re-gated" in result.get("scaling_efficiency_estimator", ""):
+        regate_note = (
+            f"  The CURRENT gate set (control drift, steal_frac <= 0.01, "
+            f"cross-leg control agreement, exact executor counts) was "
+            f"re-applied uniformly to every pooled pair — campaigns "
+            f"recorded before a gate existed logged the same probes "
+            f"without enforcing them all, and one selection rule must "
+            f"cover the whole pool; {n_regated} leg(s) were dropped by "
+            f"re-gating, each recorded with its own reason.")
 
     header = (f"Scaling: {n_small} -> {n_big} executors x {cores_per} cores "
               f"(local-cluster, real executor JVMs, {n_convs} convs, FINAL)")
@@ -198,12 +210,12 @@ def bench_section(result: dict, mem_mb: int) -> None:
 Speedup {round(sN / s4N, 2)}x over {factor:g}x executors; per-pair
 efficiencies {pairs} (N and 4N run back-to-back per pair so both see
 the same box conditions — the box's absolute throughput drifts across
-hours) -> **scaling efficiency {eff}** (MEDIAN of {len(pairs)} pairs —
+hours) -> **scaling efficiency {eff}** ({result['scaling_efficiency_estimator']} —
 drift-robust; best pair {max(pairs)}; target >=0.8).  Pairs pooled
-from {n_campaigns} invocations of the same gated protocol on the same
+from {n_campaigns} invocations of the same protocol on the same
 corpus spec (quiet-box windows are scattered across hours, so
 campaigns are collected in sessions; per-campaign pair lists and every
-run/discard record are in the combined JSON).
+run/discard record are in the combined JSON).{regate_note}
 Per-executor resources
 identical at both levels ({cores_per} cores, {mem_mb}m) — the cluster-scaling contract
 the single-JVM local[N] proxy cannot represent (one shared heap/GC for
