@@ -112,6 +112,30 @@ class TestMerge:
         assert all("different box speeds" in d["discard_reason"]
                    for d in r["discarded_runs"])
 
+    def test_regate_discards_runs_missing_probe_fields(self, tmp_path):
+        # a pre-probe run cannot pass a gate it never recorded — it
+        # must be discarded, not defaulted to passing values
+        noprobe = _run(4, 110.0)
+        del noprobe["steal_frac"]
+        p = _campaign(tmp_path, "a.json",
+                      [(_run(1, 400.0), _run(4, 110.0), 0.909),
+                       (_run(1, 400.0), noprobe, 0.909)])
+        r = merge([p], regate=True)
+        assert r["pair_efficiencies"] == [0.909]
+        assert any("probe fields not recorded: steal_frac"
+                   in d["discard_reason"] for d in r["discarded_runs"])
+
+    def test_refuses_non_pairwise_run_lists(self, tmp_path):
+        import json
+
+        p = _campaign(tmp_path, "a.json",
+                      [(_run(1, 400.0), _run(4, 110.0), 0.909)])
+        d = json.loads(open(p).read())
+        d["N_1x4"]["runs"].append(_run(1, 410.0))  # unpaired trailing leg
+        open(p, "w").write(json.dumps(d))
+        with pytest.raises(SystemExit, match="not pairwise"):
+            merge([p], regate=True)
+
     def test_regate_all_pairs_dropped_is_loud(self, tmp_path):
         # a pool with zero surviving pairs must fail, not emit an
         # empty-median headline

@@ -316,10 +316,9 @@ def main() -> None:
         except RuntimeError as exc:
             # a leg's retries all landed in an invalid window; keep the
             # pairs already collected rather than losing hours of runs
+            # (zero pairs falls through to the discard-record exit below)
             print(f"ABANDON-ATTEMPT {exc}", flush=True)
-            if pairs:
-                break
-            raise
+            break
         time.sleep(30)
         # cross-leg gate: both legs must have seen the same box speed
         # (single-stream control probes within 40% — above the probe's
@@ -343,6 +342,21 @@ def main() -> None:
               f"steal {a['steal_frac']}/{b['steal_frac']} "
               f"bw {a.get('bw_before_gbps')}/{b.get('bw_before_gbps')}",
               flush=True)
+
+    if not pairs:
+        # every attempt was pair-gated away: still write the record —
+        # the discards ARE the result of hours of runs, and losing them
+        # to a min()-of-empty crash would defeat the provenance contract
+        with open(out_json, "w") as f:
+            json.dump({
+                "n_convs": n_convs, "pair_efficiencies": [],
+                "scaling_efficiency": None,
+                "scaling_efficiency_estimator": "no valid pairs",
+                "discarded_runs": discarded, "corpus_path": tr_path,
+            }, f, indent=1)
+        raise SystemExit(
+            f"no valid pairs after {attempts} attempts; "
+            f"{len(discarded)} discarded runs recorded in {out_json}")
 
     sN = min(r["sec"] for r in runsN)
     s4N = min(r["sec"] for r in runs4N)
@@ -408,10 +422,11 @@ submission blocks on its requested containers, matched here with
 spark.scheduler.minRegisteredResourcesRatio=1.0) AND to have run at a
 consistent box speed: a fixed-plan single-stream JVM control probe
 brackets each measured section, and a pair is kept only when all four
-probes agree within 30% (the box enters minutes-long hypervisor-steal
-windows — identical record counts with JVM CPU-time inflated ~4.5x,
-diagnosed from event logs; /proc/stat steal fraction is recorded per
-run).  {len(discarded)} invalid run(s) discarded AND recorded in the
+probes agree within 40% (ratio <= 1.4, the enforced threshold) AND the
+kernel steal counter stays at the idle-neighbor floor (steal_frac <=
+0.01; the box enters minutes-long hypervisor-steal windows — identical
+record counts with JVM CPU-time inflated ~4.5x, diagnosed from event
+logs).  {len(discarded)} invalid run(s) discarded AND recorded in the
 JSON — gating is symmetric, so it removes noise in both directions
 rather than selecting favorable trials.
 Corpus parquet: `{tr_path}` — regenerate bit-for-bit with

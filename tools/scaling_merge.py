@@ -49,7 +49,14 @@ def _level_keys(d: dict) -> tuple[str, str]:
 def _leg_gate_reason(r: dict, max_steal: float = 0.01,
                      drift: float = 1.4) -> str | None:
     """The same per-leg validity rules scaling_cluster.measure_valid
-    enforces live, re-derivable from the recorded probes."""
+    enforces live, re-derivable from the recorded probes.  A run that
+    did not RECORD a probe cannot pass the gate that reads it —
+    defaulting missing fields to passing values would let pre-probe
+    runs into a pool advertised as gate-homogeneous."""
+    missing = [k for k in ("execs_start", "execs_end", "control_before",
+                           "control_after", "steal_frac") if k not in r]
+    if missing:
+        return f"probe fields not recorded: {','.join(missing)}"
     if (r.get("execs_start") != r["executors"]
             or r.get("execs_end") != r["executors"]):
         return (f"executors start={r.get('execs_start')} "
@@ -72,6 +79,12 @@ def _regate_file(d: dict, kN: str, k4N: str, path: str,
     appends dropped runs to `discarded` with a 'regate:' reason."""
     pairs, keptN, kept4N = [], [], []
     runsN, runs4N = d[kN]["runs"], d[k4N]["runs"]
+    if len(runsN) != len(runs4N):
+        # zip would silently drop the unpaired trailing run — a
+        # provenance hole; a campaign record is pairwise by contract
+        raise SystemExit(
+            f"{path}: level run lists are not pairwise "
+            f"({len(runsN)} vs {len(runs4N)} runs)")
     stored = d.get("pair_efficiencies", [])
     for i, (a, b) in enumerate(zip(runsN, runs4N)):
         leg_reasons = {id(a): _leg_gate_reason(a),
