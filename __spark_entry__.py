@@ -476,6 +476,23 @@ FROM documents
 _MAT_DELETE_CONVS = ["c7", "c23", "c42", "c99", "c150"]
 
 
+def _scratch_dir(name: str) -> str:
+    """Fixed per-query scratch sink, emptied at entry.  mkdtemp-per-call
+    leaked a full parquet sink per invocation (the returned frame
+    lazily reads the path, so it cannot be deleted before the caller
+    consumes it) — a fixed path reclaimed on the NEXT invocation
+    bounds disk to one sink per query while keeping the frame valid
+    for the whole run that created it."""
+    import os
+    import shutil
+    import tempfile
+
+    p = os.path.join(tempfile.gettempdir(), "gg2rdf_driver_scratch", name)
+    shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(p)
+    return p
+
+
 def _q_materialize_delete(spark, sf_dir):
     """A5/A6 contract surface behind the correctness gate (round-4
     VERDICT next #6): materialize a bucketed sink, prove exact resume
@@ -484,17 +501,16 @@ def _q_materialize_delete(spark, sf_dir):
     conversation set, and return the read-back per-conv survivors.
     The reference analog is action_worker.ts:153-196 (git add/rm of
     per-treatment .ttl) — here it is dynamic-partition parquet with a
-    manifest, swap journal, and O_EXCL lock (sources/materialize.py).
+    manifest, swap journal, and kernel-flock swap lock
+    (sources/materialize.py).
     """
-    import tempfile
-
     from gg2rdf_spark.sources.materialize import (
         delete_conversations, materialize, read_triples,
     )
 
     _load(spark, sf_dir, "documents")
     triples = spark.sql(_MAT_TRIPLES_SQL)
-    path = tempfile.mkdtemp(prefix="matdel_sink_")
+    path = _scratch_dir("matdel_sink")
     materialize(triples, path, n_buckets=16)
     # replay: resume must skip ALL buckets (duplicates would show up
     # as doubled counts against the oracle)
@@ -535,13 +551,11 @@ def _q_snapshot_delete(spark, sf_dir):
     survivor files (no rename touches any data path), assert the
     pre-delete snapshot is still readable (snapshot isolation / time
     travel), and return the read-back per-conv survivors."""
-    import tempfile
-
     from gg2rdf_spark.sources import snapshot_store as ss
 
     _load(spark, sf_dir, "documents")
     triples = spark.sql(_MAT_TRIPLES_SQL)
-    root = tempfile.mkdtemp(prefix="snapdel_store_")
+    root = _scratch_dir("snapdel_store")
     r1 = ss.commit_append(triples, root, n_buckets=16, run_id="drv-1")
     r2 = ss.commit_append(triples, root, n_buckets=16, run_id="drv-1")
     assert not r1["skipped"] and r2["skipped"], (r1, r2)

@@ -43,7 +43,13 @@ class KGPipeline:
 
     def __init__(self, transcripts: DataFrame, cache: bool = True,
                  eager: bool | None = None):
-        if eager is None:
+        if not cache:
+            # eager waves only materialize persisted frames; without
+            # caching the gate's sizing count would be a pure extra
+            # evaluation of the input lineage (per micro-batch, in the
+            # streaming path) deciding a flag nothing reads
+            eager = False
+        elif eager is None:
             # spark.gg2rdf.eagerCache: "true" / "false" force it;
             # default "auto" enables it only when the input clears
             # spark.gg2rdf.eagerCacheMinRows (default 100k turns).

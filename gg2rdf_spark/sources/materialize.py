@@ -18,6 +18,7 @@ bucket granularity.
 
 from __future__ import annotations
 
+import fcntl
 import os
 import time
 
@@ -133,6 +134,32 @@ def materialize(
     }
 
 
+# above this, conv_id membership switches from a literal IN to a
+# broadcast join: a large deletion list (GDPR batch, full-corpus
+# re-run) as an IN literal bloats the plan/driver linearly and falls
+# out of codegen; joined as a broadcast frame it stays O(1) plan-size
+_ISIN_MAX = 1000
+
+
+def _id_filter(df: DataFrame, conv_ids: list[str], keep: bool) -> DataFrame:
+    """Rows of ``df`` whose conv_id is (keep=True) / is not (False) in
+    ``conv_ids`` — literal IN for small lists, broadcast semi/anti
+    join for large ones."""
+    if len(conv_ids) <= _ISIN_MAX:
+        cond = F.col("conv_id").isin(conv_ids)
+        return df.filter(cond if keep else ~cond)
+    ids = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(c,) for c in set(conv_ids)], "conv_id string"))
+    return (
+        df.join(ids, "conv_id", "left_semi" if keep else "left_anti")
+        # the join hoists the key column to the front; keep the frame's
+        # column order identical to the filter path so written files
+        # share one layout
+        .select(*df.columns)
+    )
+
+
 def delete_conversations(
     spark: SparkSession, path: str, conv_ids: list[str],
 ) -> dict:
@@ -178,14 +205,14 @@ def delete_conversations(
     # conversations are read and rewritten
     buckets = [
         r.conv_bucket
-        for r in df.filter(F.col("conv_id").isin(conv_ids))
+        for r in _id_filter(df, conv_ids, keep=True)
         .select("conv_bucket").distinct().collect()
     ]
     if not buckets:
         return {"buckets_rewritten": 0, "triples_removed": 0}
     affected = df.filter(F.col("conv_bucket").isin(buckets))
     n_before = affected.count()
-    kept = affected.filter(~F.col("conv_id").isin(conv_ids))
+    kept = _id_filter(affected, conv_ids, keep=False)
 
     # STAGE, don't self-overwrite: `kept` is a lazy plan over data_path,
     # so overwriting data_path while reading it is a corruption hazard
@@ -230,10 +257,9 @@ def _lock_path(path: str) -> str:
     return os.path.join(path, "_swap.lock")
 
 
-def _acquire_swap_lock(path: str, timeout: float = 60.0,
-                       stale_s: float = 300.0) -> str:
-    """O_EXCL lock serializing swap application across PROCESSES.
-    Returns an ownership token the caller must pass to
+def _acquire_swap_lock(path: str, timeout: float = 60.0) -> int:
+    """Kernel ``flock`` serializing swap application across PROCESSES.
+    Returns the held lock fd; the caller passes it back to
     :func:`_release_swap_lock`.
 
     delete_conversations holds it for the whole journal->swap->cleanup
@@ -242,55 +268,48 @@ def _acquire_swap_lock(path: str, timeout: float = 60.0,
     racing a live writer could interleave R1/R2 renames and move NEW
     data into trash (worse than the crash being recovered from).
 
-    Stale break (round-4 ADVICE): a lock whose mtime is older than
-    ``stale_s`` belongs to a crashed holder.  Breaking it by plain
-    ``os.remove`` has a TOCTOU hole — between stat and remove the
-    stale holder could release and a FRESH lock appear, which the
-    remove would then delete, letting two writers in.  Instead the
-    breaker ``os.rename``s the lock aside to a name unique to itself:
-    rename is atomic, so exactly one breaker wins (losers get ENOENT
-    and re-contend), and a fresh lock created in the window simply
-    makes the rename move THAT file aside — its holder then fails the
-    ownership check on release, which is safe (release becomes a
-    no-op; the journal protocol makes a re-applied swap idempotent)."""
+    Earlier versions used an O_EXCL lock FILE with an mtime-based
+    stale break, which is structurally racy: any break path (plain
+    remove, or rename-aside with ownership-checked release) has a
+    window where a freshly-acquired lock is broken and two writers
+    enter the critical section with interleaving renames on one
+    shared journal path (round-4/5 ADVICE lineage).  ``flock`` removes
+    the entire staleness class: the KERNEL drops the lock when the
+    holder's fd closes — including on crash/kill — so there is
+    nothing to time out, nothing to break, and no TOCTOU.  This sink
+    is the local-FS materialization path (its bucket swap already
+    requires POSIX atomic rename), so a POSIX advisory lock is within
+    the same contract; the object-store sink (snapshot_store) needs
+    neither renames nor locks.
+
+    The lock file itself is NEVER unlinked: removing and recreating it
+    would let a new opener lock a fresh inode while an old holder
+    still holds the old one — two "held" locks on one name."""
     lp = _lock_path(path)
-    token = f"{os.getpid()}-{os.urandom(8).hex()}"
+    fd = os.open(lp, os.O_CREAT | os.O_RDWR, 0o644)
     deadline = time.time() + timeout
     while True:
         try:
-            fd = os.open(lp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, token.encode())
-            os.close(fd)
-            return token
-        except FileExistsError:
-            try:
-                if time.time() - os.stat(lp).st_mtime > stale_s:
-                    broken = f"{lp}.stale-{token}"
-                    try:
-                        os.rename(lp, broken)  # atomic: one breaker wins
-                        os.remove(broken)
-                    except FileNotFoundError:
-                        pass  # another breaker won; re-contend
-                    continue
-            except FileNotFoundError:
-                continue  # holder released between open and stat
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            break
+        except OSError:
             if time.time() > deadline:
+                os.close(fd)
                 raise TimeoutError(f"swap lock busy: {lp}")
             time.sleep(0.05)
+    # diagnostics only (who holds it); correctness lives in the flock
+    os.ftruncate(fd, 0)
+    os.pwrite(fd, f"{os.getpid()}-{time.time():.3f}".encode(), 0)
+    return fd
 
 
-def _release_swap_lock(path: str, token: str) -> None:
-    """Remove the lock only if WE still own it (round-4 ADVICE: a
-    holder whose lock was broken as stale must not delete its
-    successor's lock on exit)."""
-    lp = _lock_path(path)
+def _release_swap_lock(path: str, fd: int) -> None:
+    """Closing the fd releases the flock; the file stays (see
+    _acquire_swap_lock on why it must never be unlinked)."""
     try:
-        with open(lp) as f:
-            if f.read() != token:
-                return  # broken as stale; a successor owns the file now
-        os.remove(lp)
-    except FileNotFoundError:
-        pass  # broken as stale and already cleaned up
+        fcntl.flock(fd, fcntl.LOCK_UN)
+    finally:
+        os.close(fd)
 
 
 def _write_journal(path: str, payload: dict) -> None:

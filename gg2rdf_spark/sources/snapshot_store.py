@@ -59,7 +59,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from .materialize import with_bucket
+from .materialize import _id_filter, with_bucket
 
 # test seam: called between data-file write and manifest publish
 _commit_fail_injector = None
@@ -182,16 +182,23 @@ def commit_append(
             f"table at {root} is bucketed with n_buckets={stored}; "
             f"append requested {n_buckets} — bucket pruning would break")
 
-    df = with_bucket(triples, n_buckets)
-    counters = {
-        str(r.conv_bucket): {"n_triples": r.n_triples, "n_convs": r.n_convs}
-        for r in df.groupBy("conv_bucket").agg(
-            F.count("*").alias("n_triples"),
-            F.countDistinct("conv_id").alias("n_convs"),
-        ).collect()
-    }
-    token = f"{int(time.time() * 1000)}-{os.urandom(4).hex()}"
-    new_dirs = _write_data_files(df, root, token)
+    # persist across the two actions below: the counters agg and the
+    # data-file write would otherwise each evaluate the full upstream
+    # lineage (arbitrary caller plans — e.g. the whole KG pipeline)
+    df = with_bucket(triples, n_buckets).persist()
+    try:
+        counters = {
+            str(r.conv_bucket): {"n_triples": r.n_triples,
+                                 "n_convs": r.n_convs}
+            for r in df.groupBy("conv_bucket").agg(
+                F.count("*").alias("n_triples"),
+                F.countDistinct("conv_id").alias("n_convs"),
+            ).collect()
+        }
+        token = f"{int(time.time() * 1000)}-{os.urandom(4).hex()}"
+        new_dirs = _write_data_files(df, root, token)
+    finally:
+        df.unpersist()
     if _commit_fail_injector is not None:
         _commit_fail_injector()  # crash seam: files written, no commit
     schema = _data_schema(df)
@@ -306,17 +313,14 @@ def delete_conversations(
             return {"version": cur["version"], "buckets_rewritten": 0,
                     "triples_removed": 0}
         before = _read_dirs(spark, root, cur, affected)
-        n_before = before.count()
-        kept = before.filter(~F.col("conv_id").isin(conv_ids))
+        # two scans of the affected buckets' (already-materialized)
+        # parquet: one counting the removed rows, one writing survivors
+        # — not three (a count + a post-write read-back); the writer's
+        # own error mode covers durability
+        n_removed = _id_filter(before, conv_ids, keep=True).count()
+        kept = _id_filter(before, conv_ids, keep=False)
         token = f"{int(time.time() * 1000)}-{os.urandom(4).hex()}"
         new_dirs = _write_data_files(kept, root, token)
-        n_after = sum(
-            r.n for r in
-            _read_dirs(spark, root,
-                       {"buckets": {b: [d] for b, d in new_dirs.items()},
-                        "schema": cur["schema"]})
-            .groupBy().agg(F.count("*").alias("n")).collect()
-        )
         if _commit_fail_injector is not None:
             _commit_fail_injector()
         buckets = {b: list(ds) for b, ds in cur["buckets"].items()
@@ -333,7 +337,7 @@ def delete_conversations(
         if _publish(root, man):
             return {"version": man["version"],
                     "buckets_rewritten": len(affected),
-                    "triples_removed": n_before - n_after}
+                    "triples_removed": n_removed}
     raise RuntimeError(f"delete_conversations: lost {retries} races")
 
 

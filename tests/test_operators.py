@@ -354,6 +354,31 @@ class TestDelete:
         assert left.count() == 27
         assert left.filter("conv_id in ('c1','c2','c3')").count() == 0
 
+    def test_delete_large_id_list_uses_join_path(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Above _ISIN_MAX the conv_id membership switches from a
+        literal IN to a broadcast semi/anti join (a million-id IN
+        bloats the plan linearly); forcing the threshold to 0 must
+        give byte-identical delete semantics and column order."""
+        from gg2rdf_spark.sources import materialize as M
+
+        monkeypatch.setattr(M, "_ISIN_MAX", 0)
+        t = spark.createDataFrame(
+            [(f"c{i}", 2, 0, f"<s{i}>", "a", "<k>", 0) for i in range(30)],
+            "conv_id string, block int, subj_ord long, subj string, "
+            "pred string, obj string, obj_ord long",
+        )
+        path = str(tmp_path / "sink")
+        M.materialize(t, path, n_buckets=4)
+        stats = M.delete_conversations(spark, path, ["c1", "c2", "c3"])
+        assert stats["triples_removed"] == 3
+        left = M.read_triples(spark, path)
+        assert left.count() == 27
+        assert left.filter("conv_id in ('c1','c2','c3')").count() == 0
+        # join path must not reorder columns vs the filter path
+        assert left.columns[:7] == t.columns
+
     def test_delete_all_conversations_keeps_sink_readable(
         self, spark, tmp_path
     ):
@@ -420,27 +445,34 @@ class TestDelete:
             assert [x["name"] for x in json.load(f)["fields"]] \
                 == json.loads(before)  # same shape, rewritten in place
 
-    def test_swap_lock_release_verifies_ownership(self, tmp_path):
-        """Round-4 ADVICE: a holder whose lock was broken as stale must
-        not delete its successor's lock on exit, and stale break must
-        be rename-unique (one breaker wins)."""
+    def test_swap_lock_excludes_and_survives_crash(self, tmp_path):
+        """Round-4/5 ADVICE lineage: the swap lock is a kernel flock —
+        mutual exclusion holds with no stale-break path at all (the
+        kernel releases a crashed holder's lock when its fd closes),
+        so the two-writers-after-a-broken-fresh-lock race of the
+        O_EXCL + mtime design is structurally gone."""
         import os
 
         from gg2rdf_spark.sources import materialize as M
 
         path = str(tmp_path)
-        tok = M._acquire_swap_lock(path)
+        fd = M._acquire_swap_lock(path)
         lp = M._lock_path(path)
-        # simulate the lock going stale and a successor breaking it
-        os.utime(lp, (1, 1))
-        tok2 = M._acquire_swap_lock(path, stale_s=300.0)
-        assert tok2 != tok and os.path.exists(lp)
-        # original holder releases: must NOT remove the successor's lock
-        M._release_swap_lock(path, tok)
         assert os.path.exists(lp)
-        # successor's release removes its own lock
-        M._release_swap_lock(path, tok2)
-        assert not os.path.exists(lp)
+        # a second acquirer (separate open-file-description, same as a
+        # separate process) must NOT get the lock while it is held
+        with pytest.raises(TimeoutError):
+            M._acquire_swap_lock(path, timeout=0.3)
+        # crash simulation: holder dies without calling release — the
+        # bare close releases the flock, so the next acquire succeeds
+        os.close(fd)
+        fd2 = M._acquire_swap_lock(path, timeout=1.0)
+        # normal release; the lock FILE stays (unlink would let a new
+        # opener lock a fresh inode while an old holder held the old)
+        M._release_swap_lock(path, fd2)
+        assert os.path.exists(lp)
+        fd3 = M._acquire_swap_lock(path, timeout=1.0)
+        M._release_swap_lock(path, fd3)
 
     def test_delete_crash_before_swap_keeps_sink_readable(
         self, spark, tmp_path

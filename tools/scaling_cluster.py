@@ -192,7 +192,7 @@ def measure_once(n_exec: int, tr_path: str, shuffle: int = 0,
 def measure_valid(n_exec: int, tr_path: str, shuffle: int = 0,
                   mem_mb: int = 4096, cores_per: int = 4,
                   discarded: list | None = None, retries: int = 2,
-                  max_steal: float = 0.01) -> dict:
+                  max_steal: float = 0.01, checkpoint=None) -> dict:
     """measure_once, rejecting runs whose measured window did not hold
     exactly n_exec live executors throughout (a real cluster delivers
     the requested containers; the sandbox's worker JVMs occasionally
@@ -237,6 +237,8 @@ def measure_valid(n_exec: int, tr_path: str, shuffle: int = 0,
         print(f"DISCARD {json.dumps(r)}", flush=True)
         if discarded is not None:
             discarded.append(r)
+        if checkpoint is not None:
+            checkpoint()
         time.sleep(30)
     raise RuntimeError(
         f"{retries + 1} runs at n_exec={n_exec} all invalid")
@@ -305,19 +307,42 @@ def main() -> None:
     pairs = []
     runsN, runs4N, discarded = [], [], []
     attempts = 0
+
+    def checkpoint() -> None:
+        # write the partial record after EVERY pair/discard: a campaign
+        # killed mid-flight (session death, OOM, reboot) must not lose
+        # the 15-40 min pairs it already completed (the r5b campaign
+        # lost a gate-passing pair exactly this way — the only write
+        # happened at campaign end).  The final record below overwrites
+        # this with in_progress dropped and the derived statistics.
+        import statistics as _st
+        with open(out_json, "w") as f:
+            json.dump({
+                "in_progress": True,
+                "n_convs": n_convs,
+                "pair_efficiencies": pairs,
+                "scaling_efficiency":
+                    round(_st.median(pairs), 3) if pairs else None,
+                "scaling_efficiency_estimator":
+                    f"median of {len(pairs)} pairs (campaign incomplete)",
+                "runs_N": runsN, "runs_4N": runs4N,
+                "discarded_runs": discarded, "corpus_path": tr_path,
+            }, f, indent=1)
+
     while len(pairs) < trials and attempts < trials * 2 + 2:
         attempts += 1
         try:
             a = measure_valid(n_small, tr_path, shuffle, mem_mb, cores_per,
-                              discarded)
+                              discarded, checkpoint=checkpoint)
             time.sleep(30)
             b = measure_valid(n_big, tr_path, shuffle, mem_mb, cores_per,
-                              discarded)
+                              discarded, checkpoint=checkpoint)
         except RuntimeError as exc:
             # a leg's retries all landed in an invalid window; keep the
             # pairs already collected rather than losing hours of runs
             # (zero pairs falls through to the discard-record exit below)
             print(f"ABANDON-ATTEMPT {exc}", flush=True)
+            checkpoint()
             break
         time.sleep(30)
         # cross-leg gate: both legs must have seen the same box speed
@@ -333,6 +358,7 @@ def main() -> None:
                 r["discard_reason"] = reason
                 discarded.append(r)
             print(f"DISCARD-PAIR {reason}", flush=True)
+            checkpoint()
             continue
         runsN.append(a)
         runs4N.append(b)
@@ -342,6 +368,7 @@ def main() -> None:
               f"steal {a['steal_frac']}/{b['steal_frac']} "
               f"bw {a.get('bw_before_gbps')}/{b.get('bw_before_gbps')}",
               flush=True)
+        checkpoint()
 
     if not pairs:
         # every attempt was pair-gated away: still write the record —
