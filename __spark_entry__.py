@@ -581,6 +581,48 @@ GROUP BY conv_id
 """
 
 
+def _q_snapshot_incremental(spark, sf_dir):
+    """Incremental batch source over the snapshot store (SURVEY §A1:
+    the reference consumes a webhook {from, till} commit range,
+    action_worker.ts:73-95; the Spark-native analog is Iceberg's
+    start/end-snapshot-id append scan).  Commit three append snapshots
+    plus a compaction, then read_changes over the last two appends:
+    the frame must contain EXACTLY the rows those appends added —
+    resolved purely from manifest metadata (each commit records its
+    added data dirs), with the compaction contributing nothing (it
+    rewrites rows, it does not add them).  At 100 TB this is the
+    downstream-consumer path that does work proportional to the
+    change, not the table."""
+    from gg2rdf_spark.sources import snapshot_store as ss
+
+    _load(spark, sf_dir, "documents")
+    batches = [
+        spark.sql(_MAT_TRIPLES_SQL + f" WHERE doc_id % 3 = {k}")
+        for k in range(3)
+    ]
+    root = _scratch_dir("snapinc_store")
+    v1 = ss.commit_append(batches[0], root, n_buckets=16,
+                          run_id="inc-0")["version"]
+    ss.commit_append(batches[1], root, n_buckets=16, run_id="inc-1")
+    ss.commit_append(batches[2], root, n_buckets=16, run_id="inc-2")
+    v4 = ss.compact(spark, root)["version"]
+    return (
+        ss.read_changes(spark, root, v1, v4)
+        .groupBy("conv_id")
+        .agg(F.count("*").alias("n_triples"),
+             F.countDistinct("subj").alias("n_subjs"))
+    )
+
+
+def _snapshot_incremental_oracle() -> str:
+    return f"""
+WITH t AS ({_MAT_TRIPLES_SQL} WHERE doc_id % 3 IN (1, 2))
+SELECT conv_id, count(*) AS n_triples, count(DISTINCT subj) AS n_subjs
+FROM t
+GROUP BY conv_id
+"""
+
+
 def _q_event_window_agg(spark, sf_dir):  # streaming-analog tumbling window
     _load(spark, sf_dir, "events")
     return (
@@ -640,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_window_agg": _q_event_window_agg,
         "materialize_delete": _q_materialize_delete,
         "snapshot_delete": _q_snapshot_delete,
+        "snapshot_incremental": _q_snapshot_incremental,
     }
 
 
@@ -1166,6 +1209,7 @@ FROM customer WHERE c_custkey >= 50 OR c_custkey IN (
     sqls["linking_join"] = _linking_oracle()
     sqls["materialize_delete"] = _materialize_delete_oracle()
     sqls["snapshot_delete"] = _snapshot_delete_oracle()
+    sqls["snapshot_incremental"] = _snapshot_incremental_oracle()
     sqls["event_window_agg"] = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
   event_type,

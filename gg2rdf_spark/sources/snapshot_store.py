@@ -224,6 +224,10 @@ def commit_append(
             "parent": cur["version"] or None, "schema": schema,
             "n_buckets": n_buckets,
             "buckets": buckets,
+            # the dirs THIS commit added, recorded at commit time so an
+            # incremental scan (read_changes) resolves a version's new
+            # rows from its own manifest — no parent diffing, no listing
+            "added_dirs": sorted(new_dirs.values()),
             "run_ids": (cur["run_ids"] + [run_id])[-max_run_history:],
             "counters": counters,
         }
@@ -257,6 +261,66 @@ def read_triples(spark: SparkSession, root: str,
     if v is None:
         raise FileNotFoundError(f"no snapshots under {root}")
     return _read_dirs(spark, root, _load_manifest(root, v))
+
+
+def read_changes(spark: SparkSession, root: str, from_version: int,
+                 to_version: int | None = None) -> DataFrame:
+    """Rows APPENDED in versions ``(from_version, to_version]`` — the
+    incremental batch source of SURVEY §A1 (Iceberg's
+    ``start-snapshot-id``/``end-snapshot-id`` append scan; the
+    reference analog is the webhook's ``{from, till}`` commit range,
+    /root/reference/src/action_worker.ts:73-95).
+
+    Resolution is pure manifest metadata: every append commit records
+    the data dirs it added (``added_dirs``), so the changes scan reads
+    exactly those immutable files — no directory listing, no diffing
+    of bucket maps, no touching rows outside the range.  At 100 TB an
+    incremental consumer (downstream re-index, CDC-style export)
+    therefore does work proportional to the CHANGE, not the table.
+
+    Semantics match Iceberg's incremental append scan: a ``delete``
+    commit inside the range raises (removed rows cannot be represented
+    in an append-only changes frame — the caller must fall back to a
+    full read of ``to_version``), and ``compact`` commits contribute
+    nothing (they rewrite existing rows; their files are not new data).
+    ``from_version=0`` reads every append since table creation.
+    Versions older than the vacuum horizon raise FileNotFoundError."""
+    v_to = current_version(root) if to_version is None else to_version
+    if v_to is None:
+        raise FileNotFoundError(f"no snapshots under {root}")
+    if from_version > v_to:
+        raise ValueError(
+            f"from_version {from_version} > to_version {v_to}")
+    dirs: list[str] = []
+    schema = None
+    for v in range(from_version + 1, v_to + 1):
+        m = _load_manifest(root, v)
+        schema = m["schema"] or schema
+        if m["op"] == "delete":
+            raise ValueError(
+                f"version {v} is a delete: the range "
+                f"({from_version}, {v_to}] is not append-only — "
+                "read the full table at to_version instead")
+        if m["op"] == "append":
+            added = m.get("added_dirs")
+            if added is None:
+                # manifest predates added_dirs: reconstruct from the
+                # parent's bucket map (both manifests are metadata-only)
+                parent = (_load_manifest(root, m["parent"])["buckets"]
+                          if m.get("parent") else {})
+                old = {d for ds in parent.values() for d in ds}
+                added = sorted(
+                    d for ds in m["buckets"].values() for d in ds
+                    if d not in old)
+            dirs.extend(added)
+    if schema is None:  # empty range: serve the table schema
+        schema = _load_manifest(root, v_to)["schema"]
+    st = (StructType.fromJson(json.loads(schema))
+          if schema else StructType([]))
+    if not dirs:
+        return spark.createDataFrame([], st)
+    return spark.read.schema(st).parquet(
+        *(os.path.join(root, d) for d in dirs))
 
 
 def snapshots(root: str) -> list[dict]:
@@ -332,6 +396,7 @@ def delete_conversations(
             "parent": cur["version"], "schema": cur["schema"],
             "n_buckets": cur.get("n_buckets"),
             "buckets": buckets, "run_ids": cur["run_ids"],
+            "added_dirs": sorted(new_dirs.values()),
             "counters": {},
         }
         if _publish(root, man):
@@ -363,6 +428,7 @@ def compact(spark: SparkSession, root: str, min_dirs: int = 2,
             "parent": cur["version"], "schema": cur["schema"],
             "n_buckets": cur.get("n_buckets"),
             "buckets": buckets, "run_ids": cur["run_ids"],
+            "added_dirs": sorted(new_dirs.values()),
             "counters": {},
         }
         if _publish(root, man):

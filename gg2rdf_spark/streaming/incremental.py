@@ -80,3 +80,47 @@ def stream_transcripts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_transcripts_snapshots(
+    spark: SparkSession, in_dir: str, root: str,
+    checkpoint_dir: str, n_buckets: int = 32,
+):
+    """readStream(files) → per-micro-batch KG pipeline → snapshot-store
+    commit: the object-store-safe variant of :func:`stream_transcripts`.
+
+    Each micro-batch is one :func:`snapshot_store.commit_append` with
+    ``run_id = batch id``.  foreachBatch delivers **at-least-once** (a
+    failure between the sink write and the streaming checkpoint commit
+    re-delivers the batch on restart); commit_append's run-id lineage
+    turns the replay into a no-op before any data is written, and an
+    attempt that crashed AFTER writing data files but BEFORE publishing
+    its manifest left nothing visible (vacuum collects the orphans) —
+    so the sink is **exactly-once** end-to-end with no renames,
+    journals, or locks, on storage where rename is not atomic.  Each
+    committed snapshot is then a unit of :func:`snapshot_store.
+    read_changes` for downstream incremental consumers (the reference's
+    per-webhook-job git push, action_worker.ts:153-196, has exactly
+    this granularity)."""
+    from ..sources.snapshot_store import commit_append
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(in_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        commit_append(
+            KGPipeline(batch_df, cache=False).triples(), root,
+            n_buckets=n_buckets, run_id=f"batch-{batch_id}",
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -330,6 +330,53 @@ class TestStreaming:
         n2 = read_triples(spark, sink).count()
         assert n2 > n1
 
+    @pytest.mark.slow
+    def test_foreachbatch_snapshot_sink_exactly_once(self, spark, tmp_path):
+        """Snapshot-store streaming sink: at-least-once foreachBatch +
+        run-id-idempotent commit_append = exactly-once.  Redelivery of
+        a whole already-committed batch (checkpoint loss) commits
+        nothing; new data afterwards lands as a new snapshot whose rows
+        are exactly what read_changes reports for the version range."""
+        import shutil
+
+        from gg2rdf_spark.sources import snapshot_store as ss
+        from gg2rdf_spark.sources.synthsql import transcripts_sql
+        from gg2rdf_spark.streaming.incremental import (
+            stream_transcripts_snapshots,
+        )
+
+        in_dir = str(tmp_path / "in")
+        root = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+        tr = spark.sql(transcripts_sql(
+            "(SELECT id AS doc_id FROM range(30))", dialect="spark"))
+        tr.coalesce(1).write.mode("overwrite").parquet(in_dir)
+
+        stream_transcripts_snapshots(
+            spark, in_dir, root, ckpt).awaitTermination(300)
+        n1 = ss.read_triples(spark, root).count()
+        v1 = ss.current_version(root)
+        assert n1 > 500
+
+        # checkpoint loss: the SAME files are redelivered as batch 0 —
+        # the run-id lineage must skip them before any write
+        shutil.rmtree(ckpt)
+        stream_transcripts_snapshots(
+            spark, in_dir, root, ckpt).awaitTermination(300)
+        assert ss.read_triples(spark, root).count() == n1
+        assert ss.current_version(root) == v1
+
+        # new conversations arrive → one new snapshot, and the changes
+        # scan over (v1, head] returns exactly its rows
+        tr2 = spark.sql(transcripts_sql(
+            "(SELECT id + 1000 AS doc_id FROM range(10))", dialect="spark"))
+        tr2.coalesce(1).write.mode("append").parquet(in_dir)
+        stream_transcripts_snapshots(
+            spark, in_dir, root, ckpt).awaitTermination(300)
+        n2 = ss.read_triples(spark, root).count()
+        assert n2 > n1
+        assert ss.read_changes(spark, root, v1).count() == n2 - n1
+
 
 class TestDelete:
     def test_delete_conversations(self, spark, tmp_path):

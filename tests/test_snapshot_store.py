@@ -185,6 +185,74 @@ class TestSnapshotStore:
         # the property survives non-append commits (delete carries it)
         assert ss._load_current(root)["n_buckets"] == 8
 
+    def test_read_changes_incremental_appends(self, spark, tmp_path):
+        """Incremental append scan (SURVEY §A1 / Iceberg
+        start-snapshot-id): (from, to] returns exactly the rows the
+        appends in that range added, resolved purely from each
+        manifest's recorded added_dirs."""
+        root = str(tmp_path / "st")
+        t1 = _triples(spark, n=60, tag="one")
+        t2 = _triples(spark, n=40, tag="two")
+        t3 = _triples(spark, n=20, tag="three")
+        v1 = ss.commit_append(t1, root, n_buckets=4)["version"]
+        v2 = ss.commit_append(t2, root, n_buckets=4)["version"]
+        v3 = ss.commit_append(t3, root, n_buckets=4)["version"]
+        assert _rows(ss.read_changes(spark, root, v1, v2)) == _rows(t2)
+        assert _rows(ss.read_changes(spark, root, v2)) == _rows(t3)
+        # from table creation = full history of appends
+        assert _rows(ss.read_changes(spark, root, 0, v3)) \
+            == _rows(t1.union(t2).union(t3))
+        # empty range serves zero rows with the table schema
+        empty = ss.read_changes(spark, root, v3, v3)
+        assert empty.count() == 0
+        assert "conv_id" in empty.columns
+
+    def test_read_changes_compact_adds_nothing(self, spark, tmp_path):
+        """A compact inside the range rewrites rows it does not add —
+        the changes frame must not double-count them."""
+        root = str(tmp_path / "st")
+        v1 = ss.commit_append(_triples(spark, n=60, tag="a"), root,
+                              n_buckets=4)["version"]
+        t2 = _triples(spark, n=40, tag="b")
+        ss.commit_append(t2, root, n_buckets=4)
+        v3 = ss.compact(spark, root, min_dirs=2)["version"]
+        assert _rows(ss.read_changes(spark, root, v1, v3)) == _rows(t2)
+
+    def test_read_changes_delete_in_range_raises(self, spark, tmp_path):
+        """Removed rows cannot be represented in an append-only changes
+        frame: a delete inside the range must raise, not silently skip
+        (Iceberg's incremental append scan has the same contract)."""
+        root = str(tmp_path / "st")
+        v1 = ss.commit_append(_triples(spark, n=60), root,
+                              n_buckets=4)["version"]
+        ss.delete_conversations(spark, root, ["c3"])
+        t3 = _triples(spark, n=10, tag="post")
+        v3 = ss.commit_append(t3, root, n_buckets=4)["version"]
+        with pytest.raises(ValueError, match="delete"):
+            ss.read_changes(spark, root, v1, v3)
+        # a range strictly after the delete works
+        assert _rows(ss.read_changes(spark, root, v3 - 1, v3)) == _rows(t3)
+
+    def test_read_changes_legacy_manifest_fallback(self, spark, tmp_path):
+        """Manifests written before added_dirs was recorded resolve the
+        added dirs by diffing against the parent's bucket map."""
+        root = str(tmp_path / "st")
+        v1 = ss.commit_append(_triples(spark, n=30, tag="a"), root,
+                              n_buckets=4)["version"]
+        t2 = _triples(spark, n=20, tag="b")
+        v2 = ss.commit_append(t2, root, n_buckets=4)["version"]
+        sd = os.path.join(root, "snaps")
+        for n in os.listdir(sd):
+            if not n.endswith(".json"):
+                continue
+            p = os.path.join(sd, n)
+            with open(p) as f:
+                man = json.load(f)
+            man.pop("added_dirs", None)
+            with open(p, "w") as f:
+                json.dump(man, f)
+        assert _rows(ss.read_changes(spark, root, v1, v2)) == _rows(t2)
+
     def test_manifest_content_published_atomically(self, spark, tmp_path):
         """The published snapshot file is complete, parseable JSON with
         the full schema (the link-after-fsync publish contract)."""
