@@ -176,6 +176,28 @@ class TestMerge:
         with pytest.raises(SystemExit, match="topologies"):
             merge([p1, p2])
 
+    def test_in_progress_checkpoint_record_merges(self, tmp_path):
+        """scaling_cluster checkpoints a partial record after every
+        pair in the SAME level-key schema as the final one, so a dead
+        campaign's pairs pool as-is (the whole point of checkpointing);
+        the extra in_progress marker and a None level 'sec' (recomputed
+        from runs by merge) must not break pooling."""
+        import json
+
+        p1 = _campaign(tmp_path, "done.json",
+                       [(_run(1, 400.0), _run(4, 110.0), 0.909)])
+        p2 = _campaign(tmp_path, "dead.json",
+                       [(_run(1, 420.0), _run(4, 120.0), 0.875)])
+        d = json.loads(open(p2).read())
+        d["in_progress"] = True
+        d["scaling_efficiency"] = 0.875
+        d["scaling_efficiency_estimator"] = \
+            "median of 1 pairs (campaign incomplete)"
+        open(p2, "w").write(json.dumps(d))
+        got = merge([p1, p2], regate=True)
+        assert got["pair_efficiencies"] == [0.909, 0.875]
+        assert got["scaling_efficiency"] == round((0.909 + 0.875) / 2, 3)
+
     def test_merge_does_not_mutate_inputs(self, tmp_path):
         import json
 

@@ -307,26 +307,41 @@ def main() -> None:
     pairs = []
     runsN, runs4N, discarded = [], [], []
     attempts = 0
+    corpus_spec = (
+        f"transcripts_sql('(SELECT id AS doc_id FROM "
+        f"range({n_convs}))', dialect='spark') -> repartition(128) "
+        f"-> zstd parquet (seed-free deterministic SQL)"
+    )
 
     def checkpoint() -> None:
         # write the partial record after EVERY pair/discard: a campaign
         # killed mid-flight (session death, OOM, reboot) must not lose
         # the 15-40 min pairs it already completed (the r5b campaign
         # lost a gate-passing pair exactly this way — the only write
-        # happened at campaign end).  The final record below overwrites
-        # this with in_progress dropped and the derived statistics.
+        # happened at campaign end).  Same schema as the final record
+        # (level keys, triples, corpus_spec) so scaling_merge.py can
+        # pool a dead campaign's pairs as-is; the final write below
+        # overwrites this with in_progress dropped.
         import statistics as _st
         with open(out_json, "w") as f:
             json.dump({
                 "in_progress": True,
                 "n_convs": n_convs,
+                "triples": runsN[-1]["triples"] if runsN else None,
+                f"N_{n_small}x4": {
+                    "sec": min((r["sec"] for r in runsN), default=None),
+                    "runs": runsN},
+                f"{factor:g}N_{n_big}x4": {
+                    "sec": min((r["sec"] for r in runs4N), default=None),
+                    "runs": runs4N},
                 "pair_efficiencies": pairs,
                 "scaling_efficiency":
                     round(_st.median(pairs), 3) if pairs else None,
                 "scaling_efficiency_estimator":
                     f"median of {len(pairs)} pairs (campaign incomplete)",
-                "runs_N": runsN, "runs_4N": runs4N,
-                "discarded_runs": discarded, "corpus_path": tr_path,
+                "discarded_runs": discarded,
+                "corpus_path": tr_path,
+                "corpus_spec": corpus_spec,
             }, f, indent=1)
 
     while len(pairs) < trials and attempts < trials * 2 + 2:
@@ -412,11 +427,7 @@ def main() -> None:
         "best_pair_efficiency": max(pairs),
         "discarded_runs": discarded,
         "corpus_path": tr_path,
-        "corpus_spec": (
-            f"transcripts_sql('(SELECT id AS doc_id FROM "
-            f"range({n_convs}))', dialect='spark') -> repartition(128) "
-            f"-> zstd parquet (seed-free deterministic SQL)"
-        ),
+        "corpus_spec": corpus_spec,
     }
     with open(out_json, "w") as f:
         json.dump(result, f, indent=2)
