@@ -263,6 +263,29 @@ def read_triples(spark: SparkSession, root: str,
     return _read_dirs(spark, root, _load_manifest(root, v))
 
 
+def read_conversations(spark: SparkSession, root: str,
+                       conv_ids: list[str],
+                       version: int | None = None) -> DataFrame:
+    """Point-lookup read: rows of exactly these conversations, touching
+    ONLY the buckets that can hold them.  The target buckets are
+    derived from the ids and the table's bucket spec alone (same
+    manifest-level pruning the delete path uses), so at 100 TB a
+    subject-access read (GDPR export, per-conversation re-serialize —
+    the reference's unit of work is one document,
+    action_worker.ts:108-151) scans ~len(ids)/n_buckets of the table's
+    buckets instead of all of it, and never lists a directory."""
+    v = current_version(root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshots under {root}")
+    man = _load_manifest(root, v)
+    nb = man.get("n_buckets")
+    # a table without a recorded bucket spec cannot be pruned soundly —
+    # fall back to reading every bucket (still manifest-resolved)
+    targets = None if nb is None else _target_buckets(spark, conv_ids, nb)
+    df = _read_dirs(spark, root, man, targets)
+    return _id_filter(df, conv_ids, keep=True)
+
+
 def read_changes(spark: SparkSession, root: str, from_version: int,
                  to_version: int | None = None) -> DataFrame:
     """Rows APPENDED in versions ``(from_version, to_version]`` — the

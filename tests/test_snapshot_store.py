@@ -185,6 +185,37 @@ class TestSnapshotStore:
         # the property survives non-append commits (delete carries it)
         assert ss._load_current(root)["n_buckets"] == 8
 
+    def test_read_conversations_prunes_buckets(self, spark, tmp_path):
+        """Point lookup reads ONLY the buckets the requested conv_ids
+        can hash into (manifest-level pruning, no directory listing):
+        exact rows back, and the scan's input files stay confined to
+        the target buckets' dirs."""
+        from pyspark.sql import functions as F
+
+        root = str(tmp_path / "st")
+        t = _triples(spark, n=400)  # conv_ids c0..c36 across 16 buckets
+        ss.commit_append(t, root, n_buckets=16)
+        want = ["c3", "c17"]
+        got = ss.read_conversations(spark, root, want)
+        assert _rows(got) == _rows(t.filter(F.col("conv_id").isin(want)))
+        # pruning evidence: the lookup plan reads a strict subset of
+        # the full table's files, exactly the target buckets' dirs
+        man = ss._load_current(root)
+        targets = set(ss._target_buckets(spark, want, 16))
+        full = set(ss.read_triples(spark, root).inputFiles())
+        touched = set(got.inputFiles())
+        assert touched and touched < full
+        allowed = {os.path.join(root, d)
+                   for b in targets for d in man["buckets"].get(b, [])}
+        assert all(any(f.split("://", 1)[-1].startswith(a)
+                       for a in allowed) for f in touched)
+        # time travel composes: pre-delete version still serves the row
+        v1 = man["version"]
+        ss.delete_conversations(spark, root, ["c3"])
+        assert ss.read_conversations(spark, root, ["c3"]).count() == 0
+        assert ss.read_conversations(
+            spark, root, ["c3"], version=v1).count() > 0
+
     def test_read_changes_incremental_appends(self, spark, tmp_path):
         """Incremental append scan (SURVEY §A1 / Iceberg
         start-snapshot-id): (from, to] returns exactly the rows the
