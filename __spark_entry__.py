@@ -57,8 +57,8 @@ _PIPE_CACHE: dict = {}
 
 def _evict_pipeline(pipe) -> None:
     for df in (getattr(pipe, "_triples", None), pipe.transcripts,
-               pipe.mentions, pipe.docs,
-               pipe.tt, pipe.convs, pipe.cits, pipe.fold, pipe.mats):
+               pipe.mentions, pipe.docs, pipe.tt, pipe.convs, pipe.cits,
+               pipe.fold, pipe.mats, getattr(pipe, "figs", None)):
         try:
             if df is not None:
                 df.unpersist()

@@ -150,19 +150,25 @@ def _levels(name: Optional[dict]) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 
-def conv_frame(docs: DataFrame, tt: DataFrame) -> DataFrame:
+def conv_frame(docs: DataFrame, tt: DataFrame,
+               repartition: bool = True) -> DataFrame:
     joined = docs.join(
         tt.select("conv_id", "tt_attrs", "tt_status"), "conv_id", "left"
     )
     # the bundle computation is CPU-bound Python per conversation: size
     # the shuffle from data volume (floored at cluster parallelism so
     # AQE byte-based coalescing can't serialize it — measured round 1:
-    # efficiency 0.60 without the floor)
+    # efficiency 0.60 without the floor).  ``repartition=False`` skips
+    # the exchange when the caller guarantees the inputs already carry
+    # a suitable hash(conv_id) layout (KGPipeline persists docs/tt
+    # co-partitioned, round 6) — the rows are per-conversation
+    # independent, so partitioning affects only parallelism here.
     from .grouped import scaled_partitions
 
-    joined = joined.repartition(
-        scaled_partitions(joined), "conv_id"
-    )
+    if repartition:
+        joined = joined.repartition(
+            scaled_partitions(joined), "conv_id"
+        )
 
     # NOTE: doc_attrs / tt_attrs are NOT re-emitted through this pass —
     # citation_frame joins them from the docs/tt frames directly, so the
@@ -209,7 +215,7 @@ def conv_frame(docs: DataFrame, tt: DataFrame) -> DataFrame:
 
 
 def citation_frame(mentions: DataFrame, docs: DataFrame,
-                   tt: DataFrame) -> DataFrame:
+                   tt: DataFrame, repartition: bool = True) -> DataFrame:
     """One row per reference_group citation unit (gg2rdf.ts:327-341),
     ordered by document position within the conversation.
 
@@ -309,7 +315,10 @@ def citation_frame(mentions: DataFrame, docs: DataFrame,
     joined = cits.join(
         docs.select("conv_id", "doc_attrs"), "conv_id", "left"
     ).join(tt.select("conv_id", "tt_attrs"), "conv_id", "left")
-    joined = joined.repartition(scaled_partitions(joined), "conv_id")
+    # per-unit independent Python — the exchange is width control only;
+    # skipped when the caller pre-partitioned the inputs (KGPipeline)
+    if repartition:
+        joined = joined.repartition(scaled_partitions(joined), "conv_id")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -421,7 +430,8 @@ def vernacular_frame(mentions: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def citation_fold(cits: DataFrame, convs: DataFrame) -> DataFrame:
+def citation_fold(cits: DataFrame, convs: DataFrame,
+                  pre_partitioned: bool = False) -> DataFrame:
     """Grouped ordered fold: per conversation, walk citation units in
     document order maintaining the alreadyCited set (seeded with the
     treatment's own concept/name URIs, gg2rdf.ts:278-280), emitting
@@ -489,7 +499,12 @@ def citation_fold(cits: DataFrame, convs: DataFrame) -> DataFrame:
 
     # streamed grouped pass: complete conversations flush per Arrow
     # chunk (only the boundary group carries over) — peak memory is one
-    # chunk + one group, not one whole partition (grouped.py)
+    # chunk + one group, not one whole partition (grouped.py).
+    # pre_partitioned propagates the caller's guarantee that cits and
+    # convs are persisted hash(conv_id)-co-partitioned (KGPipeline), in
+    # which case the join preserves conv co-location and the fold's
+    # repartition exchange is skipped.
     from .grouped import stream_groups
 
-    return stream_groups(joined, "conv_id", fold, FOLD_SCHEMA)
+    return stream_groups(joined, "conv_id", fold, FOLD_SCHEMA,
+                         pre_partitioned=pre_partitioned)

@@ -54,21 +54,23 @@ def connected_components(
     """
     spark = edges.sparkSession
     session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    sym = (
+    # Width from a cheap narrow count of the INPUT edges (no shuffle):
+    # |sym| ≤ 2·|edges|, which is all the sizing heuristic needs.  The
+    # round-5 form materialized the symmetric frame twice (distinct at
+    # session width → count → re-repartition at loop width → count);
+    # one exchange now lays the frame out at loop width directly, and
+    # distinct needs no second exchange because hash(b) already
+    # clusters (a, b) pairs (partition exprs ⊆ grouping exprs).
+    n_edges = edges.count()
+    width = max(4, min(session_width, -(-2 * n_edges // rows_per_partition)))
+    sym_b = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .repartition(session_width, "a", "b")
+        .repartition(width, "b")
         .distinct()
         .persist()
     )
-    n_edges = sym.count()  # also materializes the persist
-    width = max(4, min(session_width, -(-n_edges // rows_per_partition)))
-    # re-lay the (persisted) edge frame once on the join key at the
-    # loop width: every per-round join against it is then exchange-free
-    # on the edge side
-    sym_b = sym.repartition(width, "b").persist()
-    sym_b.count()
-    sym.unpersist()
+    sym_b.count()  # materialize the persist
     try:
         return _cc_loop(sym_b, max_iter, width)
     finally:
@@ -96,30 +98,59 @@ def _label_checksum(labels: DataFrame):
     ).collect()[0]
 
 
+def _jump(labels: DataFrame, comp_map_src: DataFrame,
+          width: int) -> DataFrame:
+    """One pointer-jump (path-halving) step:
+    label(v) ← min(label(v), map(label(v))) where ``comp_map_src``
+    supplies the node→component map.  The map side is expected to
+    arrive hash-partitioned on ``node`` at ``width`` (a Project alias
+    preserves it), so the only exchange is the left side's repartition
+    by ``component``."""
+    comp_map = comp_map_src.select(
+        F.col("node").alias("c_node"), F.col("component").alias("c_comp")
+    )
+    return (
+        labels.repartition(width, "component")
+        .join(comp_map, F.col("component") == comp_map["c_node"], "left")
+        .select(
+            F.col("node"),
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("c_comp"), F.col("component")),
+            ).alias("component"),
+        )
+    )
+
+
 def _cc_loop(sym_b: DataFrame, max_iter: int, width: int) -> DataFrame:
+    # seed from the b side: sym_b is persisted hash(b, width), so the
+    # distinct needs no exchange (the symmetric frame's b column covers
+    # every node)
     labels = (
-        sym_b.select(F.col("a").alias("node"))
-        .repartition(width, "node")
+        sym_b.select(F.col("b").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
     prev = _label_checksum(labels)
     for _ in range(max_iter):
-        # neighbor-min step: label(v) ← min over neighbors u of label(u)
+        # One re-layout of the checkpointed labels per round (a
+        # localCheckpoint loses partitioning info); every other join in
+        # the round then lines up on inherited hash partitioning:
+        #   nbr:      sym_b hash(b) ⋈ lab_p renamed node→b   (no exch)
+        #   stepped:  lab_p hash(node) ⋈ nbr agg hash(node)  (no exch)
+        #   jumps:    map side = stepped hash(node)          (no exch)
+        # leaving 4 exchanges/round (labels→node, nbr→a, 2× jump left
+        # side→component) vs 7 in the round-5 form.
+        lab_p = labels.repartition(width, "node").persist()
         nbr = (
-            sym_b.join(
-                labels.withColumnRenamed("node", "b")
-                .repartition(width, "b"),
-                "b",
-            )
+            sym_b.join(lab_p.withColumnRenamed("node", "b"), "b")
             .repartition(width, "a")
             .groupBy("a").agg(F.min("component").alias("nbr_min"))
             .withColumnRenamed("a", "node")
         )
         stepped = (
-            labels.repartition(width, "node")
-            .join(nbr, "node", "left")
+            lab_p.join(nbr, "node", "left")
             .select(
                 "node",
                 F.least(
@@ -127,32 +158,21 @@ def _cc_loop(sym_b: DataFrame, max_iter: int, width: int) -> DataFrame:
                     F.coalesce(F.col("nbr_min"), F.col("component")),
                 ).alias("component"),
             )
-            # feeds BOTH sides of the pointer-jump self-join below;
-            # unpersisted, the neighbor-min lineage runs twice per
-            # round (once per join side — they shuffle in separate
-            # stages of the same checkpoint job)
+            # feeds the jump left side AND both jump maps below;
+            # unpersisted, the neighbor-min lineage would re-run per
+            # consumer within the checkpoint job
             .persist()
         )
-        # pointer-jump (path halving): label(v) ← label(label(v)) —
-        # turns O(diameter) convergence into O(log diameter) (a chain
-        # of 30 converged in 30 rounds before; ~6 after)
-        comp_map = stepped.select(
-            F.col("node").alias("c_node"), F.col("component").alias("c_comp")
-        ).repartition(width, "c_node")
-        new_labels = (
-            stepped.repartition(width, "component")
-            .join(
-                comp_map, F.col("component") == comp_map["c_node"], "left"
-            )
-            .select(
-                F.col("node"),
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("c_comp"), F.col("component")),
-                ).alias("component"),
-            )
-            .localCheckpoint()  # truncate lineage every round
-        )
+        # TWO pointer-jump (path-halving) steps per round (round 6):
+        # both jumps map through the persisted ``stepped`` frame, so
+        # reach per round goes from ~2× to ~3× while the map side adds
+        # no exchange — the round count (each round pays a checkpoint
+        # job, a checksum job, and the neighbor-min join) drops by
+        # ~1/3.  The per-round frames stay edge-list-sized at any
+        # scale, so the trade holds at cluster widths too.
+        j1 = _jump(stepped, stepped, width)
+        new_labels = _jump(j1, stepped, width).localCheckpoint()
+        lab_p.unpersist()
         stepped.unpersist()
         cur = _label_checksum(new_labels)
         labels = new_labels

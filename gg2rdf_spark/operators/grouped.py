@@ -73,13 +73,25 @@ def stream_groups(
     fn: Callable[[pd.DataFrame], Optional[pd.DataFrame]],
     schema,
     floor: Optional[int] = None,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Apply ``fn`` to each complete ``key`` group with bounded memory.
 
     Equivalent to ``groupBy(key).applyInPandas`` but without the
     per-group Arrow-call overhead (~ms per group — ~10 s at 20k tiny
     groups, see BENCH.md round 1) and without whole-partition
-    materialization."""
+    materialization.
+
+    ``pre_partitioned=True`` (round 6) skips the repartition exchange;
+    the caller MUST guarantee every ``key`` group already lives in one
+    partition (e.g. the input is a join of frames persisted
+    hash-partitioned on ``key`` — KGPipeline's citation fold).  The
+    partition-local sort stays (and is elided by EliminateSorts when
+    the input already arrives sorted), so group contiguity inside the
+    Arrow pass is always re-established; only CO-LOCATION is assumed.
+    A violated assumption splits a group across partitions and breaks
+    the fold — never set it from code that does not control the
+    input's physical layout."""
     par = scaled_partitions(df, floor)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -106,8 +118,6 @@ def stream_groups(
             if out is not None and len(out):
                 yield out
 
-    return (
-        df.repartition(par, key)
-        .sortWithinPartitions(key)
-        .mapInPandas(gen, schema)
-    )
+    if not pre_partitioned:
+        df = df.repartition(par, key)
+    return df.sortWithinPartitions(key).mapInPandas(gen, schema)

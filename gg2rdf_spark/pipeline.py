@@ -75,32 +75,76 @@ class KGPipeline:
                     "spark.gg2rdf.eagerCacheMinRows", "100000"))
                 eager = transcripts.count() >= min_rows
         self.transcripts = transcripts
+        # Persist every reused stage frame hash-partitioned by conv_id
+        # at ONE shared width and sorted within partitions (round-6
+        # optimization, guide §2.4 "remove shuffles outright"): a
+        # mapInPandas node reports UnknownPartitioning, so without this
+        # every downstream conv-keyed join/agg/window re-exchanged the
+        # cached frame — the sf0.1 triples plan carried 39 Exchanges /
+        # 14 SortMergeJoins, nearly all between conv-keyed caches.
+        # With the caches co-partitioned (and pre-sorted on the SMJ
+        # keys), EnsureRequirements elides both the exchange AND the
+        # sort on each side — the persisted-bucketed-table pattern.
+        # Cost: one extra exchange per cached frame at build; the
+        # mention-level one replaces the conv-keyed exchanges of ~6
+        # consumers, the conv-level ones are conv-sized rows.  At
+        # cluster scale the same layout comes from a conv_id-bucketed
+        # input table; the width is the session's shuffle sizing knob.
+        from .operators.grouped import scaled_partitions
+
+        W = scaled_partitions(transcripts)
+
+        def _conv_persist(df: DataFrame, *sort_cols: str) -> DataFrame:
+            return (
+                df.repartition(W, "conv_id")
+                .sortWithinPartitions("conv_id", *sort_cols)
+                .persist()
+            )
+
         self.mentions = E.parse_mentions(transcripts)
         if cache:
-            self.mentions = self.mentions.persist()
+            # sorted by (conv_id, g_ord): citation_frame's document-
+            # order window then needs neither exchange nor sort
+            self.mentions = _conv_persist(self.mentions, "g_ord")
         self.docs = E.docs_frame(transcripts, self.mentions)
         self.tt = E.treatment_taxon(self.mentions)
         if cache:
             # docs/tt feed BOTH the conv-bundle pass and citation_frame
             # (which joins the attr bags directly so the bundle pass
-            # stays narrow) — persist to avoid recomputing the aggs
+            # stays narrow) — persist to avoid recomputing the aggs.
+            # Derived relationally from the pre-partitioned mentions
+            # cache, they inherit hash(conv_id) — no re-repartition.
             self.docs = self.docs.persist()
             self.tt = self.tt.persist()
-        self.convs = A.conv_frame(self.docs, self.tt)
+        # with the caches pre-partitioned, the Arrow passes' internal
+        # width-control repartitions are redundant — the inputs already
+        # arrive hash(conv_id) at W (the bundle rows are per-conv
+        # independent, so this changes layout, never values)
+        self.convs = A.conv_frame(self.docs, self.tt,
+                                  repartition=not cache)
         if cache:
-            self.convs = self.convs.persist()
-        self.cits = A.citation_frame(self.mentions, self.docs, self.tt)
+            self.convs = _conv_persist(self.convs)
+        self.cits = A.citation_frame(self.mentions, self.docs, self.tt,
+                                     repartition=not cache)
         if cache:
-            self.cits = self.cits.persist()
-        self.fold = A.citation_fold(self.cits, self.convs)
+            # sorted by (conv_id, unit_ord): the fold's stream_groups
+            # pass and the (conv_id, unit_ord) joins skip their sorts
+            self.cits = _conv_persist(self.cits, "unit_ord")
+        self.fold = A.citation_fold(self.cits, self.convs,
+                                    pre_partitioned=cache)
         if cache:
             # the fold feeds 3+ union branches of the triples frame;
             # unpersisted it re-runs the grouped Python pass per branch
-            self.fold = self.fold.persist()
+            self.fold = _conv_persist(self.fold, "unit_ord")
         self.figs = A.figure_frame(self.mentions)
+        if cache:
+            # figs feeds THREE consumers (treatment cito:cites,
+            # publication fabio:hasPart, the figure subject block) —
+            # unpersisted, the figure Arrow pass re-ran per consumer
+            self.figs = _conv_persist(self.figs)
         self.mats = A.material_frame(self.mentions, self.convs)
         if cache:
-            self.mats = self.mats.persist()
+            self.mats = _conv_persist(self.mats)
         self.verns = A.vernacular_frame(self.mentions)
         if cache and eager:
             # materialize in dependency WAVES, counting each wave's
@@ -115,7 +159,7 @@ class KGPipeline:
                 (self.mentions,),
                 (self.docs, self.tt),
                 (self.convs, self.cits),
-                (self.fold, self.mats),
+                (self.fold, self.mats, self.figs),
             ]
             with ThreadPoolExecutor(max_workers=2) as ex:
                 for wave in waves:

@@ -319,9 +319,34 @@ def _turn4_text() -> str:
 
 
 def transcripts_sql(source: str = "documents", dialect: str = "spark") -> str:
-    """Full transcripts derivation.  ``dialect`` ∈ {'spark','duckdb'}
-    (only the epoch-ms→timestamp function differs)."""
+    """Full transcripts derivation.  ``dialect`` ∈ {'spark','duckdb'}.
+
+    The DuckDB dialect (the frozen driver-oracle text) is
+    byte-identical to round 5: one flat query whose turn-text CASE
+    inlines every fragment.  The Spark dialect produces the SAME rows
+    from a restructured query (round-6 optimization):
+
+    * a ``REPARTITION(doc_id)`` hint on the recipe rows — the
+      documents input is typically one small parquet file → one scan
+      partition, so the flat form ran the entire CPU-heavy text
+      expansion as a SINGLE task (measured: 5.8 s serial at sf0.1 on
+      32 idle cores).  Hashing the ~40-byte recipe rows across
+      ``spark.sql.shuffle.partitions`` parallelizes the expansion
+      while shuffling only tiny pick columns (guide §2.3).
+    * layered subqueries that name each repeated fragment ONCE
+      (citation attr bundles, figure/material spans, the taxon attr
+      string) and build the five turn texts as per-doc columns the
+      final CASE merely selects.  The flat form repeated the c0
+      citation expression (≈1.5 KB of SQL) twice and the
+      treatment-authority fragment five times; parse + analyze +
+      optimizer + Janino codegen of that tree dominated the
+      generation wall time (measured: 1.5 s parse/analyze + ~3.5 s
+      optimize/codegen vs ~0.6 s compute).  CollapseProject keeps
+      multi-referenced non-cheap aliases as separate projections, so
+      the dedup survives optimization."""
     ts_fn = "timestamp_millis" if dialect == "spark" else "epoch_ms"
+    if dialect == "spark":
+        return _transcripts_sql_spark(source, ts_fn)
     turn_text = (
         f"(CASE tt.turn_idx WHEN 0 THEN {_turn0_text()}"
         f" WHEN 1 THEN {_turn1_text()}"
@@ -337,6 +362,80 @@ SELECT
   (CASE tt.turn_idx WHEN 0 THEN 'user' WHEN 3 THEN 'tool'
    ELSE 'assistant' END) AS role,
   {turn_text} AS text,
+  (CASE tt.turn_idx WHEN 3 THEN 'collection_db' ELSE NULL END) AS tool,
+  {ts_fn}(1704067200000 + r.doc_id * 3600000 + tt.turn_idx * 60000) AS ts
+FROM r CROSS JOIN (VALUES (0), (1), (2), (3), (4)) AS tt(turn_idx)
+"""
+
+
+def _transcripts_sql_spark(source: str, ts_fn: str) -> str:
+    """Layered Spark form of :func:`transcripts_sql` — identical rows,
+    deduplicated expression tree (see transcripts_sql docstring)."""
+    name = "(CASE WHEN err = 4 THEN 'T.' ELSE g END) || ' ' || sp"
+    label = (
+        "(CASE status_style WHEN 2 THEN"
+        " ' [[taxonomicNameLabel rank=species]]comb. nov.[[/]]' ELSE '' END)"
+    )
+    vern = (
+        "(CASE WHEN has_vern = 1 THEN ' Known locally as [[vernacularName"
+        " language=' || vern_lang || ']]' || vern || '[[/]].' ELSE '' END)"
+    )
+    t1 = (
+        "(CASE WHEN err = 1 THEN"
+        " 'The treatment text lacks a clear nomenclature section.'"
+        f" ELSE 'Nomenclature. [[taxonomicName ' || taxon_attrs"
+        f" || ']]' || {name} || '[[/]]' || {label}"
+        " || ' is described here.' END)"
+    )
+    f1 = "(CASE WHEN fig_dup = 1 THEN fig0 ELSE fig1 END)"
+    t2 = (
+        "'Description. Body length 4.2-4.8 mm.'"
+        " || (CASE WHEN n_figs >= 1 THEN ' ' || fig0 ELSE '' END)"
+        f" || (CASE WHEN n_figs >= 2 THEN ' ' || {f1} ELSE '' END)"
+        f" || {vern}"
+    )
+    t3 = (
+        "'Materials examined.'"
+        " || (CASE WHEN n_mats >= 1 THEN ' ' || mat0 ELSE '' END)"
+        " || (CASE WHEN n_mats >= 2 THEN ' ' || mat1 ELSE '' END)"
+    )
+    c1 = "(CASE WHEN c1_dup = 1 THEN c0_attrs ELSE c1_attrs_raw END)"
+    t4 = (
+        "'References.'"
+        " || (CASE WHEN n_cit >= 1 THEN"
+        " ' [[treatmentCitation ' || c0_attrs || ']]' ELSE '' END)"
+        f" || (CASE WHEN n_cit >= 2 THEN"
+        f" ' [[treatmentCitation ' || {c1} || ']]' ELSE '' END)"
+        " || (CASE WHEN n_cit = 0 THEN ' None relevant.' ELSE '' END)"
+    )
+    return f"""
+WITH r0 AS (SELECT /*+ REPARTITION(doc_id) */ *
+            FROM ({recipe_cte(source)}) AS r_inner),
+frag AS (
+  SELECT r0.*,
+         {_TAXON_ATTRS} AS taxon_attrs,
+         {_cit_attrs('c0_scen', 'c0_g', 'c0_sp', 'c0_sur', 'c0_yr')} AS c0_attrs,
+         {_cit_attrs('c1_scen_raw', 'c1_g', 'c1_sp', 'c1_sur', 'c1_yr')} AS c1_attrs_raw,
+         {_fig_span('0')} AS fig0,
+         {_fig_span('1')} AS fig1,
+         {_mat_span('0')} AS mat0,
+         {_mat_span('1')} AS mat1
+  FROM r0),
+r AS (
+  SELECT frag.*,
+         {_turn0_text()} AS t0_text,
+         {t1} AS t1_text,
+         {t2} AS t2_text,
+         {t3} AS t3_text,
+         {t4} AS t4_text
+  FROM frag)
+SELECT
+  r.conv_id AS conv_id,
+  cast(tt.turn_idx AS int) AS turn_idx,
+  (CASE tt.turn_idx WHEN 0 THEN 'user' WHEN 3 THEN 'tool'
+   ELSE 'assistant' END) AS role,
+  (CASE tt.turn_idx WHEN 0 THEN t0_text WHEN 1 THEN t1_text
+   WHEN 2 THEN t2_text WHEN 3 THEN t3_text ELSE t4_text END) AS text,
   (CASE tt.turn_idx WHEN 3 THEN 'collection_db' ELSE NULL END) AS tool,
   {ts_fn}(1704067200000 + r.doc_id * 3600000 + tt.turn_idx * 60000) AS ts
 FROM r CROSS JOIN (VALUES (0), (1), (2), (3), (4)) AS tt(turn_idx)
