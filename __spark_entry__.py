@@ -482,12 +482,26 @@ def _scratch_dir(name: str) -> str:
     lazily reads the path, so it cannot be deleted before the caller
     consumes it) — a fixed path reclaimed on the NEXT invocation
     bounds disk to one sink per query while keeping the frame valid
-    for the whole run that created it."""
+    for the whole run that created it.
+
+    The root is scoped per uid AND per driver process (round-5 ADVICE:
+    a world-shared fixed path let two concurrent drivers — e.g. a
+    bench and a correctness run — rmtree each other's live sinks).
+    Scratch of dead sibling processes under the same uid is reclaimed
+    here, keeping the bounded-disk property across runs."""
     import os
     import shutil
     import tempfile
 
-    p = os.path.join(tempfile.gettempdir(), "gg2rdf_driver_scratch", name)
+    root = os.path.join(
+        tempfile.gettempdir(), f"gg2rdf_driver_scratch_u{os.getuid()}")
+    os.makedirs(root, exist_ok=True)
+    for d in os.listdir(root):  # GC dirs left by exited drivers
+        pid = d[1:]
+        if d.startswith("p") and pid.isdigit() \
+                and not os.path.exists(f"/proc/{pid}"):
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    p = os.path.join(root, f"p{os.getpid()}", name)
     shutil.rmtree(p, ignore_errors=True)
     os.makedirs(p)
     return p

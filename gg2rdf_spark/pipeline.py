@@ -43,6 +43,7 @@ class KGPipeline:
 
     def __init__(self, transcripts: DataFrame, cache: bool = True,
                  eager: bool | None = None):
+        n_rows: int | None = None
         if not cache:
             # eager waves only materialize persisted frames; without
             # caching the gate's sizing count would be a pure extra
@@ -73,7 +74,29 @@ class KGPipeline:
             else:
                 min_rows = int(conf.get(
                     "spark.gg2rdf.eagerCacheMinRows", "100000"))
-                eager = transcripts.count() >= min_rows
+                n_rows = transcripts.count()
+                eager = n_rows >= min_rows
+        # Mention-cache layout gate (round 6): pre-partitioning the
+        # RAW mention stream by conv_id buys exchange-free downstream
+        # plans, but the exchanges it removes are post-partial-agg
+        # (conv-level) or kind-subset frames — SMALL at scale — while
+        # the pre-partition itself shuffles every mention row (bytes
+        # linear in the corpus; guide §2.3 "aggregate before you
+        # shuffle").  So it pays only in the overhead-dominated small
+        # regime (measured round 6: sf0.1 clear win; 200k-conv
+        # interleaved A/B ~6 s LOSS from the extra mention-stream
+        # shuffle).  Size-gated like the eager gate (same default
+        # threshold: below ~100k turns the job is stage-overhead-
+        # bound), overridable via spark.gg2rdf.mentionPartitionMaxRows.
+        partition_mentions = False
+        if cache:
+            conf = transcripts.sparkSession.conf
+            pm_max = int(conf.get(
+                "spark.gg2rdf.mentionPartitionMaxRows",
+                conf.get("spark.gg2rdf.eagerCacheMinRows", "100000")))
+            if n_rows is None:
+                n_rows = transcripts.count()
+            partition_mentions = n_rows < pm_max
         self.transcripts = transcripts
         # Persist every reused stage frame hash-partitioned by conv_id
         # at ONE shared width and sorted within partitions (round-6
@@ -103,23 +126,29 @@ class KGPipeline:
 
         self.mentions = E.parse_mentions(transcripts)
         if cache:
-            # sorted by (conv_id, g_ord): citation_frame's document-
-            # order window then needs neither exchange nor sort
-            self.mentions = _conv_persist(self.mentions, "g_ord")
+            if partition_mentions:
+                # sorted by (conv_id, g_ord): citation_frame's
+                # document-order window then needs neither exchange
+                # nor sort (small-regime layout, see gate above)
+                self.mentions = _conv_persist(self.mentions, "g_ord")
+            else:
+                self.mentions = self.mentions.persist()
         self.docs = E.docs_frame(transcripts, self.mentions)
         self.tt = E.treatment_taxon(self.mentions)
         if cache:
             # docs/tt feed BOTH the conv-bundle pass and citation_frame
             # (which joins the attr bags directly so the bundle pass
             # stays narrow) — persist to avoid recomputing the aggs.
-            # Derived relationally from the pre-partitioned mentions
-            # cache, they inherit hash(conv_id) — no re-repartition.
+            # Their final aggregates/joins are keyed on conv_id, so
+            # they come out hash(conv_id) at W either from the
+            # pre-partitioned mentions cache or from their own agg
+            # exchanges — no re-repartition needed in either regime.
             self.docs = self.docs.persist()
             self.tt = self.tt.persist()
-        # with the caches pre-partitioned, the Arrow passes' internal
-        # width-control repartitions are redundant — the inputs already
-        # arrive hash(conv_id) at W (the bundle rows are per-conv
-        # independent, so this changes layout, never values)
+        # with the conv-level caches pre-partitioned, the Arrow passes'
+        # internal width-control repartitions are redundant — the
+        # inputs already arrive hash(conv_id) at W (the bundle rows are
+        # per-conv independent, so this changes layout, never values)
         self.convs = A.conv_frame(self.docs, self.tt,
                                   repartition=not cache)
         if cache:

@@ -146,7 +146,12 @@ def _id_filter(df: DataFrame, conv_ids: list[str], keep: bool) -> DataFrame:
     ``conv_ids`` — literal IN for small lists, broadcast semi/anti
     join for large ones."""
     if len(conv_ids) <= _ISIN_MAX:
-        cond = F.col("conv_id").isin(conv_ids)
+        # coalesce the tri-valued isin to FALSE so a NULL conv_id row
+        # behaves like the join path: never "in" the list — kept on
+        # delete, dropped on keep (round-5 ADVICE: ~NULL is NULL, which
+        # silently deleted null-key rows only below the 1000-id
+        # threshold)
+        cond = F.coalesce(F.col("conv_id").isin(conv_ids), F.lit(False))
         return df.filter(cond if keep else ~cond)
     ids = F.broadcast(
         df.sparkSession.createDataFrame(

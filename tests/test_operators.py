@@ -333,10 +333,14 @@ class TestStreaming:
     @pytest.mark.slow
     def test_foreachbatch_snapshot_sink_exactly_once(self, spark, tmp_path):
         """Snapshot-store streaming sink: at-least-once foreachBatch +
-        run-id-idempotent commit_append = exactly-once.  Redelivery of
-        a whole already-committed batch (checkpoint loss) commits
-        nothing; new data afterwards lands as a new snapshot whose rows
-        are exactly what read_changes reports for the version range."""
+        run-id-idempotent commit_append = exactly-once while the
+        checkpoint lives (a crash-redelivered batch within one
+        checkpoint generation commits nothing twice).  Deleting the
+        checkpoint starts a fresh run-id namespace (round-5 ADVICE):
+        the restarted batch 0 — which may cover old AND new input — is
+        re-processed instead of being silently skipped against the old
+        generation's batch-0 run id, i.e. checkpoint loss degrades to
+        at-least-once (visible duplicates), never to silent loss."""
         import shutil
 
         from gg2rdf_spark.sources import snapshot_store as ss
@@ -358,24 +362,33 @@ class TestStreaming:
         v1 = ss.current_version(root)
         assert n1 > 500
 
-        # checkpoint loss: the SAME files are redelivered as batch 0 —
-        # the run-id lineage must skip them before any write
-        shutil.rmtree(ckpt)
+        # same-generation idempotence: re-running with the LIVE
+        # checkpoint finds no new files and commits nothing
         stream_transcripts_snapshots(
             spark, in_dir, root, ckpt).awaitTermination(300)
         assert ss.read_triples(spark, root).count() == n1
         assert ss.current_version(root) == v1
 
-        # new conversations arrive → one new snapshot, and the changes
-        # scan over (v1, head] returns exactly its rows
+        # checkpoint loss + NEW input arriving before the restart: the
+        # redelivered batch 0 covers old+new files together.  The old
+        # bare-batch-id scheme skipped it entirely (silent loss of the
+        # new conversations); the salted scheme re-commits everything —
+        # old rows duplicated (at-least-once), new rows present
         tr2 = spark.sql(transcripts_sql(
             "(SELECT id + 1000 AS doc_id FROM range(10))", dialect="spark"))
         tr2.coalesce(1).write.mode("append").parquet(in_dir)
+        shutil.rmtree(ckpt)
         stream_transcripts_snapshots(
             spark, in_dir, root, ckpt).awaitTermination(300)
         n2 = ss.read_triples(spark, root).count()
-        assert n2 > n1
-        assert ss.read_changes(spark, root, v1).count() == n2 - n1
+        new_rows = ss.read_changes(spark, root, v1).count()
+        assert new_rows == n1 + (n2 - 2 * n1)  # old replayed + new rows
+        # no silent loss: the new conversations' rows are present
+        assert n2 - 2 * n1 > 0
+        # and the replay is itself idempotent within the new generation
+        stream_transcripts_snapshots(
+            spark, in_dir, root, ckpt).awaitTermination(300)
+        assert ss.read_triples(spark, root).count() == n2
 
 
 class TestDelete:
@@ -722,3 +735,80 @@ class TestParseOrdering:
         assert m.count() == 40 * 5 * 3
         assert diff == 0
         m.unpersist()
+
+
+class TestRound6Layout:
+    """Focused tests for the round-6 physical-layout optimizations:
+    results must be invariant to the layout flags (co-partitioned
+    stage caches, pre_partitioned stream_groups, the mention-layout
+    size gate, positional balanced unions)."""
+
+    def _transcripts(self, spark, n=40):
+        from gg2rdf_spark.sources.synthsql import transcripts_sql
+
+        return spark.sql(transcripts_sql(
+            f"(SELECT id AS doc_id FROM range({n}))", dialect="spark"))
+
+    def test_stream_groups_pre_partitioned_matches_default(self, spark):
+        """pre_partitioned=True must produce identical groups when the
+        caller has genuinely co-located the key (repartition) — the
+        optimization skips the exchange, never changes the fold."""
+        import pandas as pd
+
+        from gg2rdf_spark.operators.grouped import stream_groups
+
+        rows = [(f"k{i % 17:02d}", i) for i in range(500)]
+        df = spark.createDataFrame(rows, "k string, v int")
+
+        def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+            # order-sensitive fold: concatenating sorted v values makes
+            # a split group produce a DIFFERENT string, so co-location
+            # violations cannot cancel out
+            vs = ",".join(str(v) for v in sorted(pdf["v"]))
+            return pd.DataFrame({"k": [pdf["k"].iloc[0]], "folded": [vs]})
+
+        schema = "k string, folded string"
+        base = {
+            (r.k, r.folded)
+            for r in stream_groups(df, "k", agg, schema).collect()
+        }
+        pre = {
+            (r.k, r.folded)
+            for r in stream_groups(
+                df.repartition(8, "k"), "k", agg, schema,
+                pre_partitioned=True).collect()
+        }
+        assert base == pre and len(base) == 17
+
+    def test_pipeline_triples_invariant_to_mention_layout_gate(self, spark):
+        """The mention-cache partition gate (small vs at-scale regime)
+        is pure physical layout: forcing each side must hash-equal."""
+        from gg2rdf_spark.pipeline import KGPipeline
+
+        tr = self._transcripts(spark).persist()
+        tr.count()
+        conf = spark.conf
+        key = "spark.gg2rdf.mentionPartitionMaxRows"
+        try:
+            conf.set(key, "1")  # force the at-scale (unpartitioned) path
+            a = sorted(map(tuple, KGPipeline(tr).triples().collect()))
+            conf.set(key, "1000000000")  # force the partitioned path
+            b = sorted(map(tuple, KGPipeline(tr).triples().collect()))
+        finally:
+            conf.unset(key)
+        assert a == b and len(a) > 100
+        tr.unpersist()
+
+    def test_pipeline_triples_cached_equals_uncached(self, spark):
+        """cache=True (co-partitioned persisted frames, skipped
+        width-control repartitions, pre_partitioned fold) vs
+        cache=False (the streaming per-batch path with every explicit
+        repartition) — identical triples."""
+        from gg2rdf_spark.pipeline import KGPipeline
+
+        tr = self._transcripts(spark).persist()
+        tr.count()
+        a = sorted(map(tuple, KGPipeline(tr, cache=True).triples().collect()))
+        b = sorted(map(tuple, KGPipeline(tr, cache=False).triples().collect()))
+        assert a == b and len(a) > 100
+        tr.unpersist()
